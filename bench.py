@@ -1,0 +1,126 @@
+"""Benchmark: IEMOCAP eval throughput (utterances/sec/chip) on TPU.
+
+Measures the jit-compiled eval forward of the flagship MARN1_onlysp on an
+IEMOCAP-test-shaped workload (31 dialogues, ~1623 utterances, max length
+~110 — the same shape the reference eval loop sees in
+``model_trainer.py:127-158``), on the default JAX backend (TPU v5e-1 under
+the driver). Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "utterances/sec/chip",
+     "vs_baseline": N}
+
+vs_baseline = ours / PyTorch-CPU reference (measured in place by
+baselines/measure_torch_cpu.py; cached in baselines/torch_cpu.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def iemocap_eval_batch(seed=0):
+    """31 dialogues, ~1623 utterances, IEMOCAP-like length distribution."""
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(20, 111, size=31)
+    lengths = (lengths * (1623 / lengths.sum())).astype(int)
+    lengths = np.maximum(lengths, 5)
+    from ser_tpu.data.synthetic import synthetic_batch
+
+    L, B = int(lengths.max()), len(lengths)
+    batch = synthetic_batch(L=L, B=B, seed=seed + 1)
+    # overwrite masks with the target length distribution
+    umask = (np.arange(L)[None, :] < lengths[:, None]).astype(np.float32)
+    batch["umask"] = umask
+    batch["qmask"] = batch["qmask"] * 0
+    sp = rng.integers(0, 2, size=(L, B))
+    qmask = np.zeros((L, B, 2), dtype=np.float32)
+    qmask[np.arange(L)[:, None], np.arange(B)[None, :], sp] = 1.0
+    batch["qmask"] = qmask * umask.T[:, :, None]
+    return batch, int(lengths.sum())
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models.registry import get_model_spec
+
+    batch, n_utts = iemocap_eval_batch()
+    dbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "vid"}
+
+    spec = get_model_spec("MARN1_onlysp")
+    model = spec.build(6, "IEMOCAP")
+    args = spec.make_inputs(dbatch)
+    key = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": key, "dropout": key}, *args, deterministic=True
+    )["params"]
+
+    # NOTE on methodology: on the axon-relay TPU backend block_until_ready()
+    # does not synchronize, and device_get pays a large relay-transfer cost.
+    # So we time K forward passes chained on-device (a tiny data dependency
+    # between iterations prevents loop-invariant hoisting) and fetch one
+    # scalar; per-pass time = (t_K - t_1) / (K - 1).
+    @jax.jit
+    def loop(params, batch, n):
+        x, qmask, umask = spec.make_inputs(batch)
+
+        def body(i, acc):
+            logp = model.apply(
+                {"params": params}, x + 1e-30 * acc, qmask, umask,
+                deterministic=True,
+            )[0]
+            return jnp.sum(logp)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    iters = 21
+    float(loop(params, dbatch, 1))  # compile + warm
+    t_long = min(
+        _timed(lambda: float(loop(params, dbatch, iters))) for _ in range(3)
+    )
+    t_short = min(
+        _timed(lambda: float(loop(params, dbatch, 1))) for _ in range(3)
+    )
+    sec = max((t_long - t_short) / (iters - 1), 1e-9)
+    utts_per_sec = n_utts / sec
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "baselines", "torch_cpu.json"
+    )
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        vs_baseline = utts_per_sec / baseline["value"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "IEMOCAP eval throughput (MARN1_onlysp)",
+                "value": round(utts_per_sec, 1),
+                "unit": "utterances/sec/chip",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "detail": {
+                    "seconds_per_pass": sec,
+                    "n_utterances": n_utts,
+                    "backend": jax.default_backend(),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

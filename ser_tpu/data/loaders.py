@@ -1,0 +1,115 @@
+"""Epoch loaders with the reference's sampler semantics.
+
+``get_loaders`` mirrors ``/root/reference/dataloader.py:146-182``: the valid
+split is the FIRST ``valid`` fraction of the *unshuffled index order* of the
+train set; train/valid are shuffled subsets (SubsetRandomSampler semantics),
+test iterates in order. Loaders yield padded batch dicts (see collate.py).
+
+Host-side only — no torch DataLoader. Feature tensors are tiny (the whole of
+IEMOCAP fits in memory many times over), so the pipeline is synchronous
+numpy; the device never waits on input for realistic shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ser_tpu.data.collate import DEFAULT_BUCKETS, collate
+from ser_tpu.data.datasets import IEMOCAPDataset, MELDDataset
+
+
+class EpochLoader:
+    """Iterates a dataset subset in batches, reshuffling each epoch."""
+
+    def __init__(
+        self,
+        dataset,
+        indices,
+        batch_size,
+        shuffle=True,
+        seed=0,
+        pad_batch_to_full=True,
+        buckets=DEFAULT_BUCKETS,
+        max_length=None,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, dtype=np.int64)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.pad_batch_to_full = pad_batch_to_full
+        self.buckets = buckets
+        self.max_length = max_length
+
+    def __len__(self):
+        return int(np.ceil(len(self.indices) / self.batch_size))
+
+    def num_examples(self):
+        return len(self.indices)
+
+    def __iter__(self):
+        order = self.indices.copy()
+        if self.shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            chunk = order[start : start + self.batch_size]
+            items = [self.dataset[int(i)] for i in chunk]
+            pad_batch = self.batch_size if self.pad_batch_to_full else None
+            yield collate(
+                items,
+                pad_length=self.max_length,
+                pad_batch=pad_batch,
+                buckets=self.buckets,
+            )
+
+
+def get_train_valid_indices(n, valid=0.1):
+    """First ``valid`` fraction of index order -> valid, rest -> train
+    (ref ``dataloader.py:146-150``)."""
+    idx = np.arange(n)
+    split = int(valid * n)
+    return idx[split:], idx[:split]
+
+
+def get_loaders(
+    feature_path,
+    dataset="IEMOCAP",
+    batch_size=32,
+    valid=0.1,
+    num_workers=0,
+    n_classes=3,
+    seed=0,
+    roberta_path=None,
+    **kwargs,
+):
+    """Build (train, valid, test) loaders (ref ``dataloader.py:153-182``)."""
+    del num_workers  # host pipeline is synchronous numpy
+    if dataset == "IEMOCAP":
+        path = feature_path + "IEMOCAP_features/IEMOCAP_features_raw.pkl"
+        trainset = IEMOCAPDataset(path=path, roberta_path=roberta_path)
+        testset = IEMOCAPDataset(path=path, train=False, roberta_path=roberta_path)
+    elif dataset == "MELD":
+        path = feature_path + "MELD_features/MELD_features_raw.pkl"
+        trainset = MELDDataset(path=path, n_classes=n_classes, roberta_path=roberta_path)
+        testset = MELDDataset(
+            path=path, n_classes=n_classes, train=False, roberta_path=roberta_path
+        )
+    else:
+        raise ValueError(f"unknown dataset: {dataset}")
+
+    train_idx, valid_idx = get_train_valid_indices(len(trainset), valid)
+    train_loader = EpochLoader(
+        trainset, train_idx, batch_size, shuffle=True, seed=seed, **kwargs
+    )
+    valid_loader = EpochLoader(
+        trainset, valid_idx, batch_size, shuffle=True, seed=seed + 1, **kwargs
+    )
+    test_loader = EpochLoader(
+        testset,
+        np.arange(len(testset)),
+        batch_size,
+        shuffle=False,
+        seed=seed + 2,
+        **kwargs,
+    )
+    return train_loader, valid_loader, test_loader

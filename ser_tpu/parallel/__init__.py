@@ -1,0 +1,7 @@
+"""Device mesh + data-parallel sharding."""
+
+from ser_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    replicate_params,
+    shard_batch,
+)

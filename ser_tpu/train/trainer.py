@@ -1,0 +1,166 @@
+"""ModelTrainer — the training/eval engine.
+
+Rebuilds ``/root/reference/model_trainer.py:28-187`` TPU-first: the model
+forward + masked loss + backward + Adam update is one jit-compiled function
+(re-used across epochs; one compile per padded batch shape bucket), and eval
+is a jit-compiled forward + argmax. Matches the reference surface:
+
+- ``train_network(epoch, loader) -> (lr, avg_loss)``
+- ``eval_network(loader) -> (acc, f1, {})`` + res.csv dump
+- ``save_parameters(path)`` / tolerant ``load_parameters(path)``
+- Adam(lr, coupled wd=2e-5) + StepLR(gamma=lr_decay, step per test_step)
+- masked-loss bookkeeping identical to ``model_trainer.py:117-124``.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ser_tpu.data.synthetic import synthetic_batch
+from ser_tpu.models.registry import get_model_spec
+from ser_tpu.train import checkpoint as ckpt
+from ser_tpu.train.losses import masked_loss
+from ser_tpu.train.metrics import weighted_accuracy, weighted_f1
+from ser_tpu.train.optim import step_lr, torch_adam
+
+BATCH_ARRAY_KEYS = (
+    "r1", "r2", "r3", "r4", "visuf", "acouf", "qmask", "umask", "label",
+)
+
+
+def _device_batch(batch):
+    return {k: jnp.asarray(batch[k]) for k in BATCH_ARRAY_KEYS if k in batch}
+
+
+class ModelTrainer:
+    def __init__(
+        self,
+        device=None,
+        lr=1e-3,
+        test_step=1,
+        lr_decay=0.98,
+        model="MARN1_onlysp",
+        loss="CrossEntropy",
+        n_classes=6,
+        dataset="IEMOCAP",
+        seed=111,
+        weight_decay=2e-5,
+        res_csv_path="res.csv",
+        mesh=None,
+        **kwargs,
+    ):
+        del device, kwargs  # device selection is implicit (jax default)
+        self.spec = get_model_spec(model)
+        self.model = self.spec.build(n_classes, dataset)
+        self.loss_kind = loss
+        self.n_classes = n_classes
+        self.dataset = dataset
+        self.res_csv_path = res_csv_path
+        self.mesh = mesh
+
+        # Init params from a tiny synthetic batch (shapes don't affect param
+        # shapes; any L/B works).
+        root = jax.random.PRNGKey(seed)
+        init_rng, self.rng = jax.random.split(root)
+        init_batch = _device_batch(synthetic_batch(L=8, B=2, n_classes=n_classes))
+        args = self.spec.make_inputs(init_batch)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, *args, deterministic=True
+        )
+        self.params = variables["params"]
+
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        print(
+            time.strftime("%m-%d %H:%M:%S")
+            + " Model para number = %.2f" % (n_params / 1024 / 1024)
+        )
+
+        self.tx = torch_adam(weight_decay=weight_decay)
+        self.opt_state = self.tx.init(self.params)
+        self.lr_at = step_lr(lr, lr_decay, test_step)
+
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # ------------------------------------------------------------------
+    def _forward(self, params, batch, deterministic, rng=None):
+        args = self.spec.make_inputs(batch)
+        rngs = None if deterministic else {"dropout": rng}
+        out = self.model.apply(
+            {"params": params}, *args, deterministic=deterministic, rngs=rngs
+        )
+        logp = out[0] if isinstance(out, tuple) else out
+        return logp
+
+    def _train_step_impl(self, params, opt_state, batch, lr, rng):
+        labels = batch["label"].reshape(-1)
+        umask = batch["umask"]
+
+        def loss_fn(p):
+            logp = self._forward(p, batch, deterministic=False, rng=rng)
+            return masked_loss(logp, labels, umask, kind=self.loss_kind)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def _eval_step_impl(self, params, batch):
+        logp = self._forward(params, batch, deterministic=True)
+        return jnp.argmax(logp, axis=1)
+
+    # ------------------------------------------------------------------
+    def train_network(self, epoch, loader):
+        lr = self.lr_at(epoch)
+        losses, mask_sums = [], []
+        for batch in loader:
+            dbatch = _device_batch(batch)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, loss = self._train_step(
+                self.params, self.opt_state, dbatch, jnp.float32(lr), step_rng
+            )
+            msum = float(np.sum(batch["umask"]))
+            losses.append(float(loss) * msum)
+            mask_sums.append(msum)
+        avg_loss = round(float(np.sum(losses) / np.sum(mask_sums)), 4)
+        return lr, avg_loss
+
+    def eval_network(self, loader, dump_csv=True):
+        preds, labels, masks = [], [], []
+        for batch in loader:
+            dbatch = _device_batch(batch)
+            pred = np.asarray(self._eval_step(self.params, dbatch))
+            preds.append(pred)
+            labels.append(np.asarray(batch["label"]).reshape(-1))
+            masks.append(np.asarray(batch["umask"]).reshape(-1))
+        preds = np.concatenate(preds)
+        labels = np.concatenate(labels)
+        masks = np.concatenate(masks)
+
+        if dump_csv and self.res_csv_path:
+            import pandas as pd
+
+            pd.DataFrame(
+                {"preds": preds, "labels": labels, "masks": masks}
+            ).to_csv(self.res_csv_path, index=False)
+
+        acc = weighted_accuracy(labels, preds, masks)
+        f1 = weighted_f1(labels, preds, masks)
+        return acc, f1, {}
+
+    # ------------------------------------------------------------------
+    def save_parameters(self, path):
+        ckpt.save_parameters(self.params, path)
+
+    def load_parameters(self, path):
+        self.params = ckpt.load_parameters(self.params, path)
+        # Optimizer moments are intentionally not checkpointed, matching the
+        # reference (model_trainer.py:170-171 saves the state_dict only).
+        self.opt_state = self.tx.init(self.params)

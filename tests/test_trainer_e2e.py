@@ -1,0 +1,111 @@
+"""End-to-end: synthetic IEMOCAP pickles -> train -> eval -> checkpoint."""
+
+import numpy as np
+import pytest
+
+from ser_tpu.data.loaders import get_loaders
+from ser_tpu.data.synthetic import generate_iemocap_pickles
+from ser_tpu.train.trainer import ModelTrainer
+
+
+@pytest.fixture(scope="module")
+def loaders(tmp_path_factory):
+    out = tmp_path_factory.mktemp("synth_e2e")
+    feature_path = generate_iemocap_pickles(
+        str(out), n_train=16, n_test=6, min_len=6, max_len=16, seed=3
+    )
+    return get_loaders(
+        feature_path, dataset="IEMOCAP", batch_size=8, valid=0.25, n_classes=6
+    )
+
+
+@pytest.fixture(scope="module")
+def trained(loaders, tmp_path_factory):
+    train_loader, _, test_loader = loaders
+    trainer = ModelTrainer(
+        model="MARN1_onlysp", n_classes=6, seed=111,
+        res_csv_path=str(tmp_path_factory.mktemp("res") / "res.csv"),
+    )
+    losses = []
+    for epoch in range(1, 9):
+        lr, loss = trainer.train_network(epoch, train_loader)
+        losses.append(loss)
+    return trainer, losses, test_loader
+
+
+def test_loss_decreases(trained):
+    _, losses, _ = trained
+    assert losses[-1] < losses[0], losses
+
+
+def test_learns_above_chance(trained):
+    trainer, _, test_loader = trained
+    acc, f1, extras = trainer.eval_network(test_loader)
+    assert acc > 30.0, f"acc {acc} not above 6-way chance"
+    assert 0 <= f1 <= 100
+    assert extras == {}
+
+
+def test_steplr_schedule(trained):
+    trainer, _, _ = trained
+    assert abs(trainer.lr_at(1) - 1e-3) < 1e-12
+    assert abs(trainer.lr_at(2) - 1e-3 * 0.98) < 1e-12
+    assert abs(trainer.lr_at(11) - 1e-3 * 0.98 ** 10) < 1e-12
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    import jax
+
+    trainer, _, test_loader = trained
+    path = str(tmp_path / "model_0001.model")
+    trainer.save_parameters(path)
+    acc_before, f1_before, _ = trainer.eval_network(test_loader, dump_csv=False)
+
+    fresh = ModelTrainer(model="MARN1_onlysp", n_classes=6, seed=222,
+                         res_csv_path=None)
+    acc_fresh, _, _ = fresh.eval_network(test_loader, dump_csv=False)
+    fresh.load_parameters(path)
+    acc_after, f1_after, _ = fresh.eval_network(test_loader, dump_csv=False)
+    assert (acc_after, f1_after) == (acc_before, f1_before)
+    # sanity: loaded params actually changed behavior vs fresh init
+    leaves_a = jax.tree_util.tree_leaves(trainer.params)
+    leaves_b = jax.tree_util.tree_leaves(fresh.params)
+    assert all(np.array_equal(a, b) for a, b in zip(leaves_a, leaves_b))
+
+
+def test_tolerant_partial_load(trained, tmp_path, capsys):
+    """Reference semantics (model_trainer.py:173-187): unknown names and
+    shape mismatches are skipped with a printed warning."""
+    import numpy as np
+
+    trainer, _, _ = trained
+    path = str(tmp_path / "ckpt.model")
+    trainer.save_parameters(path)
+
+    # corrupt the archive: rename one key, reshape another
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    keys = sorted(flat)
+    flat["not_a_param"] = np.zeros(3, np.float32)
+    flat[keys[0]] = np.zeros((1, 1), np.float32)  # wrong shape
+    import io
+
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+    fresh = ModelTrainer(model="MARN1_onlysp", n_classes=6, seed=333,
+                         res_csv_path=None)
+    before = {k: v.copy() for k, v in
+              __import__("ser_tpu.train.checkpoint", fromlist=["flatten_params"])
+              .flatten_params(fresh.params).items()}
+    fresh.load_parameters(path)
+    out = capsys.readouterr().out
+    assert "not_a_param is not in the model." in out
+    assert "Wrong parameter length" in out
+    after = __import__("ser_tpu.train.checkpoint", fromlist=["flatten_params"]) \
+        .flatten_params(fresh.params)
+    # mismatched param kept its fresh value; others loaded
+    assert np.array_equal(after[keys[0]], before[keys[0]])
+    assert any(not np.array_equal(after[k], before[k]) for k in keys[1:])

@@ -1,0 +1,148 @@
+"""CLI experiment driver — TPU-native rebuild of ``/root/reference/train.py``.
+
+Same flags, same epoch loop (train -> save -> eval every test_step epochs,
+score.txt append with best-F1 tracking, parameters.csv dump), running on the
+JAX default backend (TPU when present, CPU otherwise).
+
+Extra flags over the reference:
+  --synthetic       generate a synthetic IEMOCAP-shaped dataset on the fly
+                    (no feature pickles required), useful for smoke runs.
+  --roberta_path    where the COSMIC RoBERTa pickle lives (the reference
+                    hard-codes an absolute path, ``dataloader.py:17-20``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import warnings
+from collections import defaultdict
+
+import numpy as np
+
+from ser_tpu.data.loaders import get_loaders
+from ser_tpu.models.registry import available_models
+from ser_tpu.train.trainer import ModelTrainer
+from ser_tpu.utils import init_args, seed_everything
+
+warnings.simplefilter("ignore")
+
+
+def main(args):
+    seed_everything(args.seed)
+
+    if args.synthetic:
+        import tempfile
+
+        from ser_tpu.data.synthetic import generate_iemocap_pickles
+
+        tmp = tempfile.mkdtemp(prefix="ser_tpu_synth_")
+        args.feature_path = generate_iemocap_pickles(tmp, seed=args.seed)
+
+    train_loader, valid_loader, test_loader = get_loaders(
+        args.feature_path,
+        dataset=args.dataset,
+        valid=0.2,
+        batch_size=args.batch_size,
+        num_workers=args.num_workers,
+        n_classes=args.n_classes,
+        seed=args.seed,
+        roberta_path=args.roberta_path,
+    )
+
+    score_file = open(args.score_save_path, "a+")
+    score_file.write(
+        f"Model: {args.model} \nDataset : {args.dataset}\n" + "-" * 20 + "\n"
+    )
+
+    if args.eval:
+        s = ModelTrainer(**vars(args))
+        print("Model %s loaded from previous state!" % args.initial_model)
+        s.load_parameters(args.initial_model)
+        acc, fscore, _ = s.eval_network(test_loader)
+        print(f"Acc {acc:.2f}, Fscore {fscore:.2f}")
+        return
+
+    trainer = ModelTrainer(**vars(args))
+    if args.initial_model != "":
+        print("Model %s loaded from previous state!" % args.initial_model)
+        trainer.load_parameters(args.initial_model)
+
+    fscores = []
+    w_dic = defaultdict(list)
+    for epoch in range(1, args.epoch + 1):
+        print("-" * 10, f"epoch {epoch} training", "-" * 10)
+        lr, loss = trainer.train_network(epoch, train_loader)
+        if epoch % args.test_step == 0:
+            trainer.save_parameters(
+                args.model_save_path + "/model_%04d.model" % epoch
+            )
+            acc, fscore, parame = trainer.eval_network(test_loader)
+            for k, v in parame.items():
+                w_dic[k].append(v)
+            fscores.append(fscore)
+            best_ep = (int(np.argmax(np.array(fscores))) + 1) * args.test_step
+            line = (
+                f"epoch {epoch}, Loss {loss:.2f}, Lr {lr:.6f}, "
+                f"Acc {acc:.2f}, Fscore {fscore:.2f}, "
+                f"Best Fscore: {max(fscores):.2f} [{best_ep}epoch]"
+            )
+            print(time.strftime("%Y-%m-%d %H:%M:%S"), line)
+            score_file.write(
+                time.strftime("%Y-%m-%d %H:%M:%S") + f" —— {line}\n"
+            )
+            score_file.flush()
+
+    score_file.write("\n")
+    score_file.close()
+
+    import pandas as pd
+
+    pd.DataFrame(w_dic).to_csv("parameters.csv", index=False)
+
+
+def parser_args(argv=None):
+    parser = argparse.ArgumentParser(description="SpeakerEmotionRecognition (TPU)")
+    parser.add_argument("--epoch", type=int, default=80)
+    parser.add_argument("--batch_size", type=int, default=80)
+    parser.add_argument("--num_workers", type=int, default=2)
+    parser.add_argument("--test_step", type=int, default=1)
+    parser.add_argument("--eval", type=bool, default=False)
+    parser.add_argument("--initial_model", type=str, default="")
+    parser.add_argument("--lr", type=float, default=0.001)
+    parser.add_argument("--lr_decay", type=float, default=0.98)
+    parser.add_argument("--seed", type=int, default=111)
+    parser.add_argument("--loss", type=str, default="CrossEntropy",
+                        help="CrossEntropy / NLL")
+    parser.add_argument("--feature_path", type=str,
+                        default="/home/workspaces/SMM22/features/")
+    parser.add_argument("--roberta_path", type=str, default=None)
+    parser.add_argument("--dataset", type=str, default="IEMOCAP",
+                        help="IEMOCAP / MELD")
+    parser.add_argument("--save_path", type=str, default="exps/MARN1_onlysp")
+    parser.add_argument("--model", type=str, default="MARN1_onlysp",
+                        help=" / ".join(available_models()))
+    parser.add_argument("--n_classes", type=int, default=6)
+    parser.add_argument("--gpu", type=int, default=0,
+                        help="kept for CLI parity; device = jax default")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="generate synthetic IEMOCAP-shaped data")
+    args = parser.parse_args(argv)
+    return init_args(args)
+
+
+if __name__ == "__main__":
+    args = parser_args()
+    import jax
+
+    print("Python Version:", sys.version)
+    print("JAX Version:", jax.__version__)
+    print("Devices:", jax.devices())
+    print("Model:", args.model)
+    print("Dataset", args.dataset)
+    print("Save path:", args.save_path)
+
+    st = time.time()
+    main(args)
+    print(f"training done, total {round(time.time() - st, 2)}s")
