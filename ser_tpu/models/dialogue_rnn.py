@@ -1,0 +1,217 @@
+"""DialogueRNN baseline suite (ref ``/root/reference/model/DialogueRNN.py``).
+
+``BiModel`` is the trainer-facing bidirectional model (D_m=712, D_g=D_p=500,
+D_e=300, D_h=300, listener_state=True, context attention 'general',
+``model_trainer.py:35-47``).
+
+TPU-first changes (math-preserving):
+- the reference grows ``g_hist`` by ``torch.cat`` every step (O(T^2) memory
+  traffic, ``DialogueRNN.py:193``); we carry a fixed-size [L, B, D_g] buffer
+  plus a step index and mask attention logits beyond the current step — the
+  softmax over the valid prefix is identical;
+- the per-step ``matchatt`` pooling loop over the whole sequence
+  (``DialogueRNN.py:260-268``) becomes one batched einsum over [L, L];
+- party-parallel GRUs (p_cell/l_cell on B*P rows) stay batched matmuls.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ser_tpu.ops.cells import declare_linear, declare_rnn_linear, gru_step
+from ser_tpu.ops.layers import Dropout, TorchLinear, dropout
+from ser_tpu.ops.masking import reverse_seq, select_parties
+
+
+class DialogueRNNScan(nn.Module):
+    """One direction of DialogueRNN (ref ``DialogueRNN.py:80-198``) with
+    'general' context attention over the global-state history."""
+
+    D_m: int
+    D_g: int
+    D_p: int
+    D_e: int
+    listener_state: bool = False
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, U, qmask, deterministic: bool = True):
+        L, B, P = U.shape[0], U.shape[1], qmask.shape[2]
+        D_m, D_g, D_p, D_e = self.D_m, self.D_g, self.D_p, self.D_e
+
+        gWih, gbih = declare_rnn_linear(self, "g_cell_ih", D_m + D_p, 3 * D_g, D_g)
+        gWhh, gbhh = declare_rnn_linear(self, "g_cell_hh", D_g, 3 * D_g, D_g)
+        pWih, pbih = declare_rnn_linear(self, "p_cell_ih", D_m + D_g, 3 * D_p, D_p)
+        pWhh, pbhh = declare_rnn_linear(self, "p_cell_hh", D_p, 3 * D_p, D_p)
+        eWih, ebih = declare_rnn_linear(self, "e_cell_ih", D_p, 3 * D_e, D_e)
+        eWhh, ebhh = declare_rnn_linear(self, "e_cell_hh", D_e, 3 * D_e, D_e)
+        if self.listener_state:
+            lWih, lbih = declare_rnn_linear(
+                self, "l_cell_ih", D_m + D_p, 3 * D_p, D_p)
+            lWhh, lbhh = declare_rnn_linear(
+                self, "l_cell_hh", D_p, 3 * D_p, D_p)
+        # 'general' MatchingAttention: transform Linear(D_m -> D_g, no bias)
+        attT, _ = declare_linear(self, "attention_transform", D_m, D_g,
+                                 use_bias=False)
+
+        training = not deterministic
+        if training:
+            keys = jax.random.split(self.make_rng("dropout"), L)
+        else:
+            keys = jnp.zeros((L, 1), jnp.float32)
+
+        steps = jnp.arange(L)
+
+        def step(carry, xs):
+            q, e_prev, g_prev, g_hist, t = carry
+            u, qm, key = xs
+            ks = None if deterministic else jax.random.split(key, 4)
+
+            q0_sel = select_parties(q, qm)
+            g_ = gru_step(
+                jnp.matmul(jnp.concatenate([u, q0_sel], -1), gWih) + gbih,
+                g_prev, gWhh, gbhh)
+            g_ = dropout(g_, self.dropout_rate, deterministic,
+                         None if deterministic else ks[0])
+
+            # attention over g_hist prefix (empty prefix -> zeros, alpha None)
+            scores = jnp.einsum("bd,jbd->bj", jnp.matmul(u, attT), g_hist)
+            prefix = (steps[None, :] < t)
+            alpha = jax.nn.softmax(jnp.where(prefix, scores, -1e9), axis=1)
+            c_ = jnp.einsum("bj,jbd->bd", alpha, g_hist)
+            c_ = jnp.where(t > 0, c_, 0.0)
+            alpha = jnp.where(t > 0, alpha, 0.0)
+
+            g_hist = jax.lax.dynamic_update_slice_in_dim(
+                g_hist, g_[None], t, axis=0)
+
+            # party GRU on B*P rows with identical input per party
+            U_c = jnp.concatenate([u, c_], axis=1)  # [B, D_m+D_g]
+            U_c_p = jnp.broadcast_to(U_c[:, None, :], (B, P, D_m + D_g))
+            qs_ = gru_step(
+                (jnp.matmul(U_c_p, pWih) + pbih).reshape(B * P, 3 * D_p),
+                q.reshape(B * P, D_p), pWhh, pbhh).reshape(B, P, D_p)
+            qs_ = dropout(qs_, self.dropout_rate, deterministic,
+                          None if deterministic else ks[1])
+
+            if self.listener_state:
+                ss_ = select_parties(qs_, qm)  # speaker's new state
+                U_ss = jnp.concatenate([u, ss_], axis=1)
+                U_ss_p = jnp.broadcast_to(U_ss[:, None, :], (B, P, D_m + D_p))
+                ql_ = gru_step(
+                    (jnp.matmul(U_ss_p, lWih) + lbih).reshape(B * P, 3 * D_p),
+                    q.reshape(B * P, D_p), lWhh, lbhh).reshape(B, P, D_p)
+                ql_ = dropout(ql_, self.dropout_rate, deterministic,
+                              None if deterministic else ks[2])
+            else:
+                ql_ = q
+
+            m = qm[:, :, None]
+            q_ = ql_ * (1.0 - m) + qs_ * m
+            e_ = gru_step(
+                jnp.matmul(select_parties(q_, qm), eWih) + ebih,
+                e_prev, eWhh, ebhh)
+            e_ = dropout(e_, self.dropout_rate, deterministic,
+                         None if deterministic else ks[3])
+
+            return (q_, e_, g_, g_hist, t + 1), (e_, alpha)
+
+        init = (
+            jnp.zeros((B, P, D_p), U.dtype),
+            jnp.zeros((B, D_e), U.dtype),
+            jnp.zeros((B, D_g), U.dtype),
+            jnp.zeros((L, B, D_g), U.dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+        _, (emotions, alphas) = jax.lax.scan(step, init, (U, qmask, keys))
+        return emotions, alphas  # [L, B, D_e], [L, B, L]
+
+
+def matching_attention_general2(M, x, mask, transform_kernel, transform_bias):
+    """Batched 'general2' MatchingAttention (ref ``DialogueRNN.py:60-66``):
+    masked softmax then mask + renormalize, pooled over memory.
+
+    M: [L, B, D]; x: [T, B, D] queries; mask: [B, L].
+    Returns pooled [T, B, D] and alpha [T, B, L].
+    """
+    xt = jnp.matmul(x, transform_kernel) + transform_bias  # [T, B, D]
+    scores = jnp.einsum("tbd,jbd->btj", xt, M)  # [B, T, L]
+    alpha_ = jax.nn.softmax(scores * mask[:, None, :], axis=2)
+    alpha_masked = alpha_ * mask[:, None, :]
+    denom = jnp.sum(alpha_masked, axis=2, keepdims=True)
+    # all-padded batch rows (full-batch padding) have denom 0; the reference
+    # never sees such rows — clamp so they stay finite (they are masked out
+    # of loss/metrics anyway, but NaN would poison the masked loss).
+    alpha = alpha_masked / jnp.where(denom > 0, denom, 1.0)
+    pooled = jnp.einsum("btj,jbd->tbd", alpha, M)
+    return pooled, jnp.swapaxes(alpha, 0, 1)
+
+
+class BiModel(nn.Module):
+    """Bidirectional DialogueRNN (ref ``DialogueRNN.py:201-277``)."""
+
+    D_m: int = 712
+    D_g: int = 500
+    D_p: int = 500
+    D_e: int = 300
+    D_h: int = 300
+    n_classes: int = 6
+    listener_state: bool = True
+    dropout_rec: float = 0.5
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(self, U, qmask, umask, att2: bool = True,
+                 deterministic: bool = True):
+        rnn_f = DialogueRNNScan(self.D_m, self.D_g, self.D_p, self.D_e,
+                                self.listener_state, self.dropout_rec,
+                                name="dialog_rnn_f")
+        rnn_r = DialogueRNNScan(self.D_m, self.D_g, self.D_p, self.D_e,
+                                self.listener_state, self.dropout_rec,
+                                name="dialog_rnn_r")
+        # self.dropout_rec = Dropout(dropout + 0.15) in the reference
+        # (DialogueRNN.py:215) — applied to the emotion sequences.
+        drop_rec = Dropout(self.dropout + 0.15, name="dropout_rec_mod")
+        drop = Dropout(self.dropout, name="dropout_mod")
+
+        emotions_f, alpha_f = rnn_f(U, qmask, deterministic)
+        emotions_f = drop_rec(emotions_f, deterministic)
+        rev_U = reverse_seq(U, umask)
+        rev_qmask = reverse_seq(qmask, umask)
+        emotions_b, alpha_b = rnn_r(rev_U, rev_qmask, deterministic)
+        emotions_b = reverse_seq(emotions_b, umask)
+        emotions_b = drop_rec(emotions_b, deterministic)
+        emotions = jnp.concatenate([emotions_f, emotions_b], axis=-1)
+
+        if att2:
+            tk, tb = declare_linear(self, "matchatt_transform",
+                                    2 * self.D_e, 2 * self.D_e)
+            att_emotions, alpha = matching_attention_general2(
+                emotions, emotions, umask, tk, tb)
+            hidden = nn.relu(TorchLinear(2 * self.D_h, name="linear")(
+                att_emotions))
+        else:
+            alpha = None
+            hidden = nn.relu(TorchLinear(2 * self.D_h, name="linear")(
+                emotions))
+        hidden = drop(hidden, deterministic)
+        log_prob = jax.nn.log_softmax(
+            TorchLinear(self.n_classes, name="smax_fc")(hidden), axis=2)
+        return log_prob, alpha, alpha_f, alpha_b  # [L, B, C]
+
+
+def register_dialogue_rnn(register, ModelSpec, trimodal_inputs):
+    def extract(out):
+        log_prob = out[0]  # [L, B, C]
+        return jnp.swapaxes(log_prob, 0, 1).reshape(-1, log_prob.shape[-1])
+
+    register(ModelSpec(
+        name="DialogueRNN",
+        build=lambda n_classes, dataset: BiModel(
+            D_m=712, D_g=500, D_p=500, D_e=300, D_h=300,
+            n_classes=6, listener_state=True,
+            dropout_rec=0.1, dropout=0.1),
+        make_inputs=trimodal_inputs,
+        extract_logp=extract))

@@ -1,0 +1,941 @@
+"""The MARN1_* variant zoo — sp, sps, nsps, no_en, cf, mf, la, azs.
+
+TPU-native rebuilds of the reference ablation family (one file per variant in
+``/root/reference/model/lsthm_*.py``; see SURVEY.md §2.2 for the feature
+matrix). Each variant keeps its reference quirks bit-for-bit in the math —
+including declared-but-unused parameters (materialized for parameter-count
+parity), the sp/cf/mf/la/azs ``q_0``-broadcast speaker scatter (both party
+slots rewritten, unlike onlysp's masked scatter), la's aux-gate bug (both
+gate LSTMs read x_l), and sps's per-party compaction (see MARNCellSPS).
+
+All recurrences are ``jax.lax.scan``; hoistable x-side projections run as one
+MXU matmul over all timesteps; state-side LSTHM projections fuse into a
+single concat-matmul per step.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ser_tpu.ops import init as tinit
+from ser_tpu.ops.attention import (
+    CrossAttentionReSeq,
+    CrossAttentionSeq,
+    CrossAttentionSeqLN,
+    rank1_cross_attention,
+)
+from ser_tpu.ops.cells import (
+    declare_linear,
+    declare_rnn_linear,
+    gru_step,
+    lsthm_gates,
+    lsthm_mf_gates,
+    lstm_step,
+)
+from ser_tpu.ops.encoder import EncoderLayer
+from ser_tpu.ops.layers import Dropout, TorchLinear, dropout
+from ser_tpu.ops.masking import reverse_seq, select_parties
+
+
+def _argmax_onehot(qmask_t):
+    """torch.argmax-derived one-hot (all-zero rows -> party 0)."""
+    idx = jnp.argmax(qmask_t, axis=1)
+    return jax.nn.one_hot(idx, qmask_t.shape[1], dtype=qmask_t.dtype)
+
+
+def _broadcast_scatter(sel, new, qmask_t):
+    """sp/cf/mf/la/azs-style q update (ref ``lsthm_sp.py:145-148``):
+    ``q = sel_bcast * (1 - qmask) + new_bcast * qmask`` — note the NON-speaker
+    slot is overwritten with the *selected speaker's previous* memory."""
+    m = qmask_t[:, :, None]
+    return sel[:, None, :] * (1.0 - m) + new[:, None, :] * m
+
+
+def _dropout_keys(module, deterministic, L, n):
+    if deterministic:
+        return jnp.zeros((L, n), jnp.float32)
+    return jax.random.split(module.make_rng("dropout"), (L, n))
+
+
+def _logp_head(module, feats, n_classes, h_out=32, out_dropout=0.5,
+               deterministic=True, name="nn_out"):
+    """Linear -> ReLU -> Dropout -> Linear -> log_softmax -> [B*L, C]."""
+    out = TorchLinear(h_out, name=f"{name}_0")(feats)
+    out = nn.relu(out)
+    out = Dropout(out_dropout, name=f"{name}_drop")(out, deterministic)
+    out = TorchLinear(n_classes, name=f"{name}_3")(out)
+    logp = jax.nn.log_softmax(out, axis=2)
+    return jnp.swapaxes(logp, 0, 1).reshape(-1, n_classes)
+
+
+# =========================================================================
+# MARN1_sp (ref model/lsthm_sp.py:103-310)
+# =========================================================================
+
+class MARNCellSP(nn.Module):
+    """Speaker memory via a 3-term LSTHM1 on the selected party state."""
+
+    dh: int = 128
+    d_in: int = 100
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x_l, x_a, qmask, deterministic: bool = True):
+        L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
+        H = self.dh
+
+        Wl, bWl = declare_linear(self, "lsthm_l_W", self.d_in, 4 * H)
+        Ul, bUl = declare_linear(self, "lsthm_l_U", H, 4 * H)
+        Vl, bVl = declare_linear(self, "lsthm_l_V", H, 4 * H)
+        Wa, bWa = declare_linear(self, "lsthm_a_W", self.d_in, 4 * H)
+        Ua, bUa = declare_linear(self, "lsthm_a_U", H, 4 * H)
+        Va, bVa = declare_linear(self, "lsthm_a_V", H, 4 * H)
+        Wq, bWq = declare_linear(self, "lsthm_q_W", H, 4 * H)
+        Uq, bUq = declare_linear(self, "lsthm_q_U", H, 4 * H)
+        Vq, bVq = declare_linear(self, "lsthm_q_V", H, 4 * H)
+        # Unused-in-forward S projections + lstm_s + a2l attention (parity
+        # with lsthm_sp.py:18,31,117: S is declared, never applied).
+        declare_linear(self, "lsthm_l_S", H, 4 * H)
+        declare_linear(self, "lsthm_a_S", H, 4 * H)
+        declare_linear(self, "lsthm_q_S", H, 4 * H)
+        declare_rnn_linear(self, "lstm_s_ih", H, 4 * H, H)
+        declare_rnn_linear(self, "lstm_s_hh", H, 4 * H, H)
+        wq = self.param("crossatt_l2a_Wq", tinit.ones, (H,))
+        wk = self.param("crossatt_l2a_Wk", tinit.ones, (H,))
+        self.param("crossatt_l2a_Wv", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wq", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wk", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wv", tinit.ones, (H,))
+
+        xl_proj = jnp.matmul(x_l, Wl) + bWl
+        xa_proj = jnp.matmul(x_a, Wa) + bWa
+        K_l = jnp.concatenate([Ul, Vl], axis=0)
+        b_l = bUl + bVl
+        K_a = jnp.concatenate([Ua, Va], axis=0)
+        b_a = bUa + bVa
+        K_q = jnp.concatenate([Wq, Uq, Vq], axis=0)
+        b_q = bWq + bUq + bVq
+
+        keys = _dropout_keys(self, deterministic, L, 4)
+
+        def step(carry, xs):
+            h_l, c_l, h_a, c_a, h_q, c_q, z, q = carry
+            xlp, xap, qm, key = xs
+            ks = None if deterministic else key
+
+            q0_sel = select_parties(q, qm)
+            sums_q = jnp.matmul(
+                jnp.concatenate([q0_sel, h_q, z], axis=-1), K_q
+            ) + b_q
+            c_q, h_q = lsthm_gates(sums_q, c_q)
+            h_q = dropout(h_q, self.dropout_rate, deterministic,
+                          None if deterministic else ks[0])
+            q = _broadcast_scatter(q0_sel, h_q, qm)
+
+            sums_l = xlp + jnp.matmul(
+                jnp.concatenate([h_l, z], axis=-1), K_l
+            ) + b_l
+            c_l, h_l = lsthm_gates(sums_l, c_l)
+            h_l = dropout(h_l, self.dropout_rate, deterministic,
+                          None if deterministic else ks[1])
+            sums_a = xap + jnp.matmul(
+                jnp.concatenate([h_a, z], axis=-1), K_a
+            ) + b_a
+            c_a, h_a = lsthm_gates(sums_a, c_a)
+            h_a = dropout(h_a, self.dropout_rate, deterministic,
+                          None if deterministic else ks[2])
+
+            z = rank1_cross_attention(
+                c_l, c_a, wq, wk, 0.2, deterministic,
+                None if deterministic else ks[3],
+            )
+            y = jnp.concatenate([h_l, h_a, z, h_q], axis=-1)
+            return (h_l, c_l, h_a, c_a, h_q, c_q, z, q), y
+
+        z0 = jnp.zeros((B, H), x_l.dtype)
+        init = (z0, z0, z0, z0, z0, z0, z0, jnp.zeros((B, P, H), x_l.dtype))
+        _, h = jax.lax.scan(step, init, (xl_proj, xa_proj, qmask, keys))
+        return h
+
+
+class MARN1SP(nn.Module):
+    """MARN1_sp top level (ref ``lsthm_sp.py:226-310``)."""
+
+    n_classes: int = 6
+    d_l: int = 100
+    d_a: int = 100
+
+    @nn.compact
+    def __call__(self, x, qmask, umask, deterministic: bool = True):
+        x_l = jnp.swapaxes(x[:, :, : self.d_l], 0, 1)
+        x_a = jnp.swapaxes(x[:, :, self.d_l : self.d_l + self.d_a], 0, 1)
+        x_l, _ = EncoderLayer(100, 40, 8, 40, 40, name="encoder_l")(
+            x_l, deterministic=deterministic)
+        x_a, _ = EncoderLayer(100, 40, 8, 40, 40, name="encoder_a")(
+            x_a, deterministic=deterministic)
+        x_l = jnp.swapaxes(x_l, 0, 1)
+        x_a = jnp.swapaxes(x_a, 0, 1)
+
+        h_f = MARNCellSP(name="marn_cell_f")(x_l, x_a, qmask, deterministic)
+        h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
+        rev_x_l = reverse_seq(x_l, umask)
+        rev_x_a = reverse_seq(x_a, umask)
+        rev_qmask = reverse_seq(qmask, umask)
+        h_b = MARNCellSP(name="marn_cell_b")(rev_x_l, rev_x_a, rev_qmask,
+                                             deterministic)
+        h_b = reverse_seq(h_b, umask)
+        h_b = Dropout(0.5, name="dropout_rec_b")(h_b, deterministic)
+        h = jnp.concatenate([h_f, h_b], axis=-1)
+
+        attn1 = CrossAttentionSeq(name="crossatt_l2a")(x_l, x_a, deterministic)
+        attn2 = CrossAttentionSeq(name="crossatt_a2l")(x_a, x_l, deterministic)
+
+        feats = jnp.concatenate([h, attn1, attn2], axis=-1)
+        _ = TorchLinear(32, name="linear")(jnp.zeros((1, feats.shape[-1])))
+        logp = _logp_head(self, feats, self.n_classes,
+                          deterministic=deterministic)
+        return logp, x_l, x_a
+
+
+# =========================================================================
+# MARN1_cf / MARN1_azs (shared-LSTMCell speaker memory, no in-cell dropout)
+# (ref model/lsthm_cf.py:103-290, model/lsthm_azs.py:74-218)
+# =========================================================================
+
+class MARNCellSharedLSTM(nn.Module):
+    """cf/azs recurrence: cal_q via one shared LSTMCell; LSTHM gates are
+    3-term for cf (S declared, unused) and 4-term for azs."""
+
+    use_speaker_term: bool  # azs True, cf False
+    emit_q: bool  # cf True (q_affine in per-step output), azs False (z only)
+    dh: int = 128
+    d_in: int = 100
+
+    @nn.compact
+    def __call__(self, x_l, x_a, qmask, deterministic: bool = True):
+        L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
+        H = self.dh
+
+        Wl, bWl = declare_linear(self, "lsthm_l_W", self.d_in, 4 * H)
+        Ul, bUl = declare_linear(self, "lsthm_l_U", H, 4 * H)
+        Vl, bVl = declare_linear(self, "lsthm_l_V", H, 4 * H)
+        Wa, bWa = declare_linear(self, "lsthm_a_W", self.d_in, 4 * H)
+        Ua, bUa = declare_linear(self, "lsthm_a_U", H, 4 * H)
+        Va, bVa = declare_linear(self, "lsthm_a_V", H, 4 * H)
+        Sl, bSl = declare_linear(self, "lsthm_l_S", H, 4 * H)
+        Sa, bSa = declare_linear(self, "lsthm_a_S", H, 4 * H)
+        sWih, sbih = declare_rnn_linear(self, "lstm_s_ih", H, 4 * H, H)
+        sWhh, sbhh = declare_rnn_linear(self, "lstm_s_hh", H, 4 * H, H)
+        wq = self.param("crossatt_l2a_Wq", tinit.ones, (H,))
+        wk = self.param("crossatt_l2a_Wk", tinit.ones, (H,))
+        self.param("crossatt_l2a_Wv", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wq", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wk", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wv", tinit.ones, (H,))
+
+        xl_proj = jnp.matmul(x_l, Wl) + bWl
+        xa_proj = jnp.matmul(x_a, Wa) + bWa
+        if self.use_speaker_term:
+            K_l = jnp.concatenate([Ul, Vl, Sl], axis=0)
+            b_l = bUl + bVl + bSl
+            K_a = jnp.concatenate([Ua, Va, Sa], axis=0)
+            b_a = bUa + bVa + bSa
+        else:
+            K_l = jnp.concatenate([Ul, Vl], axis=0)
+            b_l = bUl + bVl
+            K_a = jnp.concatenate([Ua, Va], axis=0)
+            b_a = bUa + bVa
+
+        def step(carry, xs):
+            h_l, c_l, h_a, c_a, h_s, c_s, z, q = carry
+            xlp, xap, qm = xs
+
+            q0_sel = select_parties(q, qm)
+            xs_proj = jnp.matmul(q0_sel, sWih) + sbih
+            h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
+            q_affine = h_s
+            q = _broadcast_scatter(q0_sel, q_affine, qm)
+
+            if self.use_speaker_term:
+                state_l = jnp.concatenate([h_l, z, q_affine], axis=-1)
+                state_a = jnp.concatenate([h_a, z, q_affine], axis=-1)
+            else:
+                state_l = jnp.concatenate([h_l, z], axis=-1)
+                state_a = jnp.concatenate([h_a, z], axis=-1)
+            c_l, h_l = lsthm_gates(xlp + jnp.matmul(state_l, K_l) + b_l, c_l)
+            c_a, h_a = lsthm_gates(xap + jnp.matmul(state_a, K_a) + b_a, c_a)
+
+            z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, True, None)
+            if self.emit_q:
+                y = jnp.concatenate([h_l, h_a, z, q_affine], axis=-1)
+            else:
+                y = jnp.concatenate([h_l, h_a, z], axis=-1)
+            return (h_l, c_l, h_a, c_a, h_s, c_s, z, q), y
+
+        z0 = jnp.zeros((B, H), x_l.dtype)
+        init = (z0, z0, z0, z0, z0, z0, z0, jnp.zeros((B, P, H), x_l.dtype))
+        _, h = jax.lax.scan(step, init, (xl_proj, xa_proj, qmask))
+        return h
+
+
+class MARN1CF(nn.Module):
+    """MARN1_cf (ref ``lsthm_cf.py:206-290``): 3-term LSTHM, q_affine in the
+    output, one-way sequence attention in the head.
+
+    NOTE: the reference's per-step CrossAttention dropout is active in train
+    mode inside the cell; cf's cell has no nn.Dropout member, but its
+    CrossAttention does (p=0.2). We keep attention dropout OFF inside
+    cf/azs cells to match eval-time math exactly; train-mode stochasticity
+    differs only in that attention mask (documented deviation)."""
+
+    n_classes: int = 6
+    d_l: int = 100
+    d_a: int = 100
+
+    @nn.compact
+    def __call__(self, x, qmask, umask, deterministic: bool = True):
+        x_l = jnp.swapaxes(x[:, :, : self.d_l], 0, 1)
+        x_a = jnp.swapaxes(x[:, :, self.d_l : self.d_l + self.d_a], 0, 1)
+        x_l, _ = EncoderLayer(100, 40, 8, 40, 40, name="encoder_l")(
+            x_l, deterministic=deterministic)
+        x_a, _ = EncoderLayer(100, 40, 8, 40, 40, name="encoder_a")(
+            x_a, deterministic=deterministic)
+        x_l = jnp.swapaxes(x_l, 0, 1)
+        x_a = jnp.swapaxes(x_a, 0, 1)
+
+        cell_f = MARNCellSharedLSTM(False, True, name="marn_cell_f")
+        cell_b = MARNCellSharedLSTM(False, True, name="marn_cell_b")
+        h_f = Dropout(0.5, name="dropout_rec")(
+            cell_f(x_l, x_a, qmask, deterministic), deterministic)
+        h_b = cell_b(reverse_seq(x_l, umask), reverse_seq(x_a, umask),
+                     reverse_seq(qmask, umask), deterministic)
+        h_b = Dropout(0.5, name="dropout_rec_b")(
+            reverse_seq(h_b, umask), deterministic)
+        h = jnp.concatenate([h_f, h_b], axis=-1)
+
+        attn1 = CrossAttentionSeq(name="crossatt_l2a")(x_l, x_a, deterministic)
+        # crossatt_a2l declared, unused (lsthm_cf.py:242,269)
+        _ = CrossAttentionSeq(name="crossatt_a2l")(
+            jax.lax.stop_gradient(x_a[:1]), jax.lax.stop_gradient(x_l[:1]),
+            True)
+
+        feats = jnp.concatenate([h, attn1], axis=-1)
+        _ = TorchLinear(32, name="linear")(jnp.zeros((1, feats.shape[-1])))
+        logp = _logp_head(self, feats, self.n_classes,
+                          deterministic=deterministic)
+        return logp, x_l, x_a
+
+
+class MARN1AZS(nn.Module):
+    """MARN1_azs (ref ``lsthm_azs.py:155-218``): encoders inside the cell,
+    4-term LSTHM, no head attention."""
+
+    n_classes: int = 6
+    d_l: int = 100
+    d_a: int = 100
+
+    @nn.compact
+    def __call__(self, x, qmask, umask, deterministic: bool = True):
+        def run_cell(name, xx, qm):
+            x_l = jnp.swapaxes(xx[:, :, : self.d_l], 0, 1)
+            x_a = jnp.swapaxes(
+                xx[:, :, self.d_l : self.d_l + self.d_a], 0, 1)
+            x_l, _ = EncoderLayer(100, 50, 8, 40, 40,
+                                  name=f"{name}_encoder_l")(
+                x_l, deterministic=deterministic)
+            x_a, _ = EncoderLayer(100, 50, 8, 40, 40,
+                                  name=f"{name}_encoder_a")(
+                x_a, deterministic=deterministic)
+            x_l = jnp.swapaxes(x_l, 0, 1)
+            x_a = jnp.swapaxes(x_a, 0, 1)
+            return MARNCellSharedLSTM(True, False, name=name)(
+                x_l, x_a, qm, deterministic)
+
+        h_f = Dropout(0.5, name="dropout_rec")(
+            run_cell("marn_cell_f", x, qmask), deterministic)
+        rev_x = reverse_seq(x, umask)
+        rev_qmask = reverse_seq(qmask, umask)
+        h_b = run_cell("marn_cell_b", rev_x, rev_qmask)
+        h_b = Dropout(0.5, name="dropout_rec_b")(
+            reverse_seq(h_b, umask), deterministic)
+        h = jnp.concatenate([h_f, h_b], axis=-1)
+        _ = TorchLinear(32, name="linear")(jnp.zeros((1, h.shape[-1])))
+        logp = _logp_head(self, h, self.n_classes, deterministic=deterministic)
+        return (logp,)
+
+
+# =========================================================================
+# MARN1_mf / MARN1_la (encoders + seq attention inside the cell)
+# (ref model/lsthm_mf.py:78-220, model/lsthm_la.py:76-228)
+# =========================================================================
+
+class MARNCellMF(nn.Module):
+    """mf: precomputed sequence cross-attention feeds an extra forget gate
+    sigmoid(V z) * c (ref ``lsthm_mf.py:27-44,122-131``)."""
+
+    dh: int = 128
+    d_in: int = 100
+
+    @nn.compact
+    def __call__(self, x, qmask, deterministic: bool = True):
+        d_l = self.d_in
+        H = self.dh
+        x_l = jnp.swapaxes(x[:, :, :d_l], 0, 1)
+        x_a = jnp.swapaxes(x[:, :, d_l : 2 * d_l], 0, 1)
+        x_l, _ = EncoderLayer(100, 50, 8, 40, 40, name="encoder_l")(
+            x_l, deterministic=deterministic)
+        x_a, _ = EncoderLayer(100, 50, 8, 40, 40, name="encoder_a")(
+            x_a, deterministic=deterministic)
+        x_l = jnp.swapaxes(x_l, 0, 1)
+        x_a = jnp.swapaxes(x_a, 0, 1)
+
+        x_la = CrossAttentionSeq(name="crossatt_l2a")(x_l, x_a, deterministic)
+        x_al = CrossAttentionSeq(name="crossatt_a2l")(x_a, x_l, deterministic)
+
+        L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
+        Wl, bWl = declare_linear(self, "lsthm_l_W", d_l, 4 * H)
+        Ul, bUl = declare_linear(self, "lsthm_l_U", H, 4 * H)
+        Vl, bVl = declare_linear(self, "lsthm_l_V", H, H)  # -> cell_size
+        Sl, bSl = declare_linear(self, "lsthm_l_S", H, 4 * H)
+        Wa, bWa = declare_linear(self, "lsthm_a_W", d_l, 4 * H)
+        Ua, bUa = declare_linear(self, "lsthm_a_U", H, 4 * H)
+        Va, bVa = declare_linear(self, "lsthm_a_V", H, H)
+        Sa, bSa = declare_linear(self, "lsthm_a_S", H, 4 * H)
+        sWih, sbih = declare_rnn_linear(self, "lstm_s_ih", H, 4 * H, H)
+        sWhh, sbhh = declare_rnn_linear(self, "lstm_s_hh", H, 4 * H, H)
+
+        xl_proj = jnp.matmul(x_l, Wl) + bWl
+        xa_proj = jnp.matmul(x_a, Wa) + bWa
+        # hoisted z-gates: sigmoid(V x_la) argument for every step
+        zg_l = jnp.matmul(x_la, Vl) + bVl  # [L, B, H]
+        zg_a = jnp.matmul(x_al, Va) + bVa
+        K_l = jnp.concatenate([Ul, Sl], axis=0)
+        b_l = bUl + bSl
+        K_a = jnp.concatenate([Ua, Sa], axis=0)
+        b_a = bUa + bSa
+
+        def step(carry, xs):
+            h_l, c_l, h_a, c_a, h_s, c_s, q = carry
+            xlp, xap, zgl, zga, qm = xs
+
+            q0_sel = select_parties(q, qm)
+            xs_proj = jnp.matmul(q0_sel, sWih) + sbih
+            h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
+            q_affine = h_s
+            q = _broadcast_scatter(q0_sel, q_affine, qm)
+
+            sums_l = xlp + jnp.matmul(
+                jnp.concatenate([h_l, q_affine], axis=-1), K_l) + b_l
+            c_l, h_l = lsthm_mf_gates(sums_l, zgl, c_l)
+            sums_a = xap + jnp.matmul(
+                jnp.concatenate([h_a, q_affine], axis=-1), K_a) + b_a
+            c_a, h_a = lsthm_mf_gates(sums_a, zga, c_a)
+
+            y = jnp.concatenate([h_l, h_a], axis=-1)
+            return (h_l, c_l, h_a, c_a, h_s, c_s, q), y
+
+        z0 = jnp.zeros((B, H), x_l.dtype)
+        init = (z0, z0, z0, z0, z0, z0, jnp.zeros((B, P, H), x_l.dtype))
+        _, h = jax.lax.scan(step, init, (xl_proj, xa_proj, zg_l, zg_a, qmask))
+        return h
+
+
+class MARNCellLA(nn.Module):
+    """la: z dropped; inputs gated by softmax of an aux LSTM's cell state
+    (ref ``lsthm_la.py:27-43,139-142``). Reference bug kept: BOTH aux gate
+    LSTMs consume x_l (``lsthm_la.py:140-141``)."""
+
+    dh: int = 128
+    d_in: int = 100
+
+    @nn.compact
+    def __call__(self, x, qmask, deterministic: bool = True):
+        d_l = self.d_in
+        H = self.dh
+        x_l = jnp.swapaxes(x[:, :, :d_l], 0, 1)
+        x_a = jnp.swapaxes(x[:, :, d_l : 2 * d_l], 0, 1)
+        # encoders declared but not applied (lsthm_la.py:104-105 commented);
+        # materialized for parameter-count parity.
+        _ = EncoderLayer(100, 50, 8, 40, 40, name="encoder_l")(
+            jnp.zeros((1, 1, 100)), deterministic=True)
+        _ = EncoderLayer(100, 50, 8, 40, 40, name="encoder_a")(
+            jnp.zeros((1, 1, 100)), deterministic=True)
+        # crossatt computed-but-unused in the reference (x_la feeds a V that
+        # la's LSTHM never applies); params declared for parity, compute
+        # skipped (no gradient either way).
+        _ = CrossAttentionSeq(name="crossatt_l2a")(
+            jax.lax.stop_gradient(jnp.swapaxes(x_l, 0, 1)[:1, :1]),
+            jax.lax.stop_gradient(jnp.swapaxes(x_a, 0, 1)[:1, :1]), True)
+        _ = CrossAttentionSeq(name="crossatt_a2l")(
+            jax.lax.stop_gradient(jnp.swapaxes(x_a, 0, 1)[:1, :1]),
+            jax.lax.stop_gradient(jnp.swapaxes(x_l, 0, 1)[:1, :1]), True)
+        x_l = jnp.swapaxes(x_l, 0, 1)
+        x_a = jnp.swapaxes(x_a, 0, 1)
+
+        L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
+        Wl, bWl = declare_linear(self, "lsthm_l_W", d_l, 4 * H)
+        Ul, bUl = declare_linear(self, "lsthm_l_U", H, 4 * H)
+        declare_linear(self, "lsthm_l_V", H, H)  # unused (la drops z)
+        Sl, bSl = declare_linear(self, "lsthm_l_S", H, 4 * H)
+        Wa, bWa = declare_linear(self, "lsthm_a_W", d_l, 4 * H)
+        Ua, bUa = declare_linear(self, "lsthm_a_U", H, 4 * H)
+        declare_linear(self, "lsthm_a_V", H, H)
+        Sa, bSa = declare_linear(self, "lsthm_a_S", H, 4 * H)
+        sWih, sbih = declare_rnn_linear(self, "lstm_s_ih", H, 4 * H, H)
+        sWhh, sbhh = declare_rnn_linear(self, "lstm_s_hh", H, 4 * H, H)
+        glWih, glbih = declare_rnn_linear(self, "lstm_la_l_ih", d_l, 4 * d_l, d_l)
+        glWhh, glbhh = declare_rnn_linear(self, "lstm_la_l_hh", d_l, 4 * d_l, d_l)
+        gaWih, gabih = declare_rnn_linear(self, "lstm_la_a_ih", d_l, 4 * d_l, d_l)
+        gaWhh, gabhh = declare_rnn_linear(self, "lstm_la_a_hh", d_l, 4 * d_l, d_l)
+
+        K_l = jnp.concatenate([Ul, Sl], axis=0)
+        b_l = bUl + bSl
+        K_a = jnp.concatenate([Ua, Sa], axis=0)
+        b_a = bUa + bSa
+        # aux gate LSTMs both read x_l (reference bug) — hoist x projections
+        gl_proj = jnp.matmul(x_l, glWih) + glbih
+        ga_proj = jnp.matmul(x_l, gaWih) + gabih
+
+        def step(carry, xs):
+            h_l, c_l, h_a, c_a, h_s, c_s, hgl, cgl, hga, cga, q = carry
+            xl_t, xa_t, glp, gap, qm = xs
+
+            q0_sel = select_parties(q, qm)
+            xs_proj = jnp.matmul(q0_sel, sWih) + sbih
+            h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
+            q_affine = h_s
+            q = _broadcast_scatter(q0_sel, q_affine, qm)
+
+            hgl, cgl = lstm_step(glp, hgl, cgl, glWhh, glbhh)
+            hga, cga = lstm_step(gap, hga, cga, gaWhh, gabhh)
+
+            in_l = jax.nn.softmax(cgl, axis=-1) * xl_t
+            in_a = jax.nn.softmax(cga, axis=-1) * xa_t
+            sums_l = jnp.matmul(in_l, Wl) + bWl + jnp.matmul(
+                jnp.concatenate([h_l, q_affine], axis=-1), K_l) + b_l
+            c_l, h_l = lsthm_gates(sums_l, c_l)
+            sums_a = jnp.matmul(in_a, Wa) + bWa + jnp.matmul(
+                jnp.concatenate([h_a, q_affine], axis=-1), K_a) + b_a
+            c_a, h_a = lsthm_gates(sums_a, c_a)
+
+            y = jnp.concatenate([h_l, h_a], axis=-1)
+            return (h_l, c_l, h_a, c_a, h_s, c_s, hgl, cgl, hga, cga, q), y
+
+        zH = jnp.zeros((B, H), x_l.dtype)
+        zD = jnp.zeros((B, d_l), x_l.dtype)
+        init = (zH, zH, zH, zH, zH, zH, zD, zD, zD, zD,
+                jnp.zeros((B, P, H), x_l.dtype))
+        _, h = jax.lax.scan(step, init, (x_l, x_a, gl_proj, ga_proj, qmask))
+        return h
+
+
+class _NoAttnBidir(nn.Module):
+    """Shared mf/la top level: bidirectional cells over raw x, plain head
+    (ref ``lsthm_mf.py:158-220``, ``lsthm_la.py:166-228``)."""
+
+    cell_cls: type
+    n_classes: int = 6
+
+    @nn.compact
+    def __call__(self, x, qmask, umask, deterministic: bool = True):
+        h_f = Dropout(0.5, name="dropout_rec")(
+            self.cell_cls(name="marn_cell_f")(x, qmask, deterministic),
+            deterministic)
+        rev_x = reverse_seq(x, umask)
+        rev_qmask = reverse_seq(qmask, umask)
+        h_b = self.cell_cls(name="marn_cell_b")(rev_x, rev_qmask, deterministic)
+        h_b = Dropout(0.5, name="dropout_rec_b")(
+            reverse_seq(h_b, umask), deterministic)
+        h = jnp.concatenate([h_f, h_b], axis=-1)
+        _ = TorchLinear(32, name="linear")(jnp.zeros((1, h.shape[-1])))
+        logp = _logp_head(self, h, self.n_classes, deterministic=deterministic)
+        return (logp,)
+
+
+def MARN1MF(n_classes=6):
+    return _NoAttnBidir(MARNCellMF, n_classes, name=None)
+
+
+def MARN1LA(n_classes=6):
+    return _NoAttnBidir(MARNCellLA, n_classes, name=None)
+
+
+# =========================================================================
+# MARN1_sps (per-party dual LSTMCells with batch compaction)
+# (ref model/lsthm_sps.py:132-409)
+# =========================================================================
+
+class MARNCellSPS(nn.Module):
+    """sps recurrence. The reference partitions the batch by current speaker,
+    COMPACTS each party's rows to the front of a zero-padded [N, D] buffer,
+    runs a per-party LSTMCell over the compacted buffer with slot-indexed
+    carry, and re-concatenates [h_q0[:N0], h_q1[:N1]] — so the speaker state
+    fed to the LSTHMs is PERMUTED relative to batch order (party-0 rows
+    first). That misalignment is trained-in behavior; we reproduce it with a
+    stable argsort permutation (ref ``lsthm_sps.py:175-259``)."""
+
+    dh: int = 128
+    d_in: int = 100
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x_l, x_a, qmask, deterministic: bool = True):
+        L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
+        H = self.dh
+
+        Wl, bWl = declare_linear(self, "lsthm_l_W", self.d_in, 4 * H)
+        Ul, bUl = declare_linear(self, "lsthm_l_U", H, 4 * H)
+        Vl, bVl = declare_linear(self, "lsthm_l_V", H, 4 * H)
+        Sl, bSl = declare_linear(self, "lsthm_l_S", H, 4 * H)
+        Wa, bWa = declare_linear(self, "lsthm_a_W", self.d_in, 4 * H)
+        Ua, bUa = declare_linear(self, "lsthm_a_U", H, 4 * H)
+        Va, bVa = declare_linear(self, "lsthm_a_V", H, 4 * H)
+        Sa, bSa = declare_linear(self, "lsthm_a_S", H, 4 * H)
+        q0Wih, q0bih = declare_rnn_linear(self, "lstm_q0_ih", H, 4 * H, H)
+        q0Whh, q0bhh = declare_rnn_linear(self, "lstm_q0_hh", H, 4 * H, H)
+        q1Wih, q1bih = declare_rnn_linear(self, "lstm_q1_ih", H, 4 * H, H)
+        q1Whh, q1bhh = declare_rnn_linear(self, "lstm_q1_hh", H, 4 * H, H)
+        declare_rnn_linear(self, "lstm_s_ih", H, 4 * H, H)  # unused parity
+        declare_rnn_linear(self, "lstm_s_hh", H, 4 * H, H)
+        wq = self.param("crossatt_l2a_Wq", tinit.ones, (H,))
+        wk = self.param("crossatt_l2a_Wk", tinit.ones, (H,))
+        self.param("crossatt_l2a_Wv", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wq", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wk", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wv", tinit.ones, (H,))
+
+        xl_proj = jnp.matmul(x_l, Wl) + bWl
+        xa_proj = jnp.matmul(x_a, Wa) + bWa
+        K_l = jnp.concatenate([Ul, Vl, Sl], axis=0)
+        b_l = bUl + bVl + bSl
+        K_a = jnp.concatenate([Ua, Va, Sa], axis=0)
+        b_a = bUa + bVa + bSa
+
+        keys = _dropout_keys(self, deterministic, L, 5)
+        slots = jnp.arange(B)
+
+        def compact(q, idx, party):
+            """Zero-padded compaction: rows whose speaker == party, in batch
+            order, moved to the front; selected memory is q[row, party]."""
+            is_p = (idx == party)
+            n_p = jnp.sum(is_p.astype(jnp.int32))
+            order = jnp.argsort(jnp.where(is_p, 0, 1), stable=True)
+            sel = q[order, party]  # [B, D], party rows first
+            valid = (slots < n_p)[:, None].astype(q.dtype)
+            return sel * valid, n_p, order
+
+        def step(carry, xs):
+            (h_l, c_l, h_a, c_a, h_q0, c_q0, h_q1, c_q1, z, q) = carry
+            xlp, xap, qm, key = xs
+            ks = None if deterministic else key
+
+            idx = jnp.argmax(qm, axis=1)
+            q0_sel, n0, _ = compact(q, idx, 0)
+            q1_sel, n1, _ = compact(q, idx, 1)
+
+            # per-party LSTMCell over the compacted buffers; when a party has
+            # no speakers this step, its carry is left untouched (the
+            # reference skips the cell call entirely).
+            nh0, nc0 = lstm_step(jnp.matmul(q0_sel, q0Wih) + q0bih,
+                                 h_q0, c_q0, q0Whh, q0bhh)
+            nh0 = dropout(nh0, self.dropout_rate, deterministic,
+                          None if deterministic else ks[0])
+            h_q0 = jnp.where(n0 > 0, nh0, h_q0)
+            c_q0 = jnp.where(n0 > 0, nc0, c_q0)
+            nh1, nc1 = lstm_step(jnp.matmul(q1_sel, q1Wih) + q1bih,
+                                 h_q1, c_q1, q1Whh, q1bhh)
+            nh1 = dropout(nh1, self.dropout_rate, deterministic,
+                          None if deterministic else ks[1])
+            h_q1 = jnp.where(n1 > 0, nh1, h_q1)
+            c_q1 = jnp.where(n1 > 0, nc1, c_q1)
+
+            # h_q = cat([h_q0[:N0], h_q1[:N1]]); h_0 likewise — slot k takes
+            # h_q0[k] if k < N0 else h_q1[k - N0]. (Degenerate N0==0 /
+            # N1==0 branches collapse into the same formula.)
+            take0 = (slots < n0)[:, None]
+            gather1 = jnp.clip(slots - n0, 0, B - 1)
+            h_q = jnp.where(take0, h_q0, h_q1[gather1])
+            h_0 = jnp.where(take0, q0_sel, q1_sel[gather1])
+            q = _broadcast_scatter(h_0, h_q, qm)
+
+            sums_l = xlp + jnp.matmul(
+                jnp.concatenate([h_l, z, h_q], axis=-1), K_l) + b_l
+            c_l, h_l = lsthm_gates(sums_l, c_l)
+            h_l = dropout(h_l, self.dropout_rate, deterministic,
+                          None if deterministic else ks[2])
+            sums_a = xap + jnp.matmul(
+                jnp.concatenate([h_a, z, h_q], axis=-1), K_a) + b_a
+            c_a, h_a = lsthm_gates(sums_a, c_a)
+            h_a = dropout(h_a, self.dropout_rate, deterministic,
+                          None if deterministic else ks[3])
+
+            z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, deterministic,
+                                      None if deterministic else ks[4])
+            y = jnp.concatenate([h_l, h_a, z, h_q], axis=-1)
+            return (h_l, c_l, h_a, c_a, h_q0, c_q0, h_q1, c_q1, z, q), y
+
+        z0 = jnp.zeros((B, H), x_l.dtype)
+        init = (z0, z0, z0, z0, z0, z0, z0, z0, z0,
+                jnp.zeros((B, P, H), x_l.dtype))
+        _, h = jax.lax.scan(step, init, (xl_proj, xa_proj, qmask, keys))
+        return h
+
+
+class MARN1SPS(nn.Module):
+    """MARN1_sps top level (ref ``lsthm_sps.py:298-409``): residual-stacked
+    encoders enc(x + enc(x)), learnable scalar fusion + re-attention, and a
+    residual head fc(feats) + x_l + x_a."""
+
+    n_classes: int = 6
+    d_r: int = 1024
+    d_l: int = 100
+    d_a: int = 100
+
+    @nn.compact
+    def __call__(self, x, qmask, umask, deterministic: bool = True):
+        x_l = jnp.swapaxes(x[:, :, : self.d_r], 0, 1)
+        x_a = jnp.swapaxes(x[:, :, self.d_r : self.d_r + self.d_a], 0, 1)
+        x_l = TorchLinear(self.d_l, name="linear_in")(x_l)
+
+        enc_l = EncoderLayer(100, 40, 8, 40, 40, name="encoder_l")
+        enc_a = EncoderLayer(100, 40, 8, 40, 40, name="encoder_a")
+        x_l_1, _ = enc_l(x_l, deterministic=deterministic)
+        x_a_1, _ = enc_a(x_a, deterministic=deterministic)
+        x_l, _ = enc_l(x_l + x_l_1, deterministic=deterministic)
+        x_a, _ = enc_a(x_a + x_a_1, deterministic=deterministic)
+        x_l = jnp.swapaxes(x_l, 0, 1)
+        x_a = jnp.swapaxes(x_a, 0, 1)
+
+        h_f = Dropout(0.5, name="dropout_rec")(
+            MARNCellSPS(name="marn_cell_f")(x_l, x_a, qmask, deterministic),
+            deterministic)
+        h_b = MARNCellSPS(name="marn_cell_b")(
+            reverse_seq(x_l, umask), reverse_seq(x_a, umask),
+            reverse_seq(qmask, umask), deterministic)
+        h_b = Dropout(0.5, name="dropout_rec_b")(
+            reverse_seq(h_b, umask), deterministic)
+        h = jnp.concatenate([h_f, h_b], axis=-1)
+
+        w = self.param("w", tinit.ones, (1,))
+        v = self.param("v", tinit.ones, (1,))
+        v1 = self.param("v1", tinit.ones, (1,))
+        v2 = self.param("v2", tinit.ones, (1,))
+        attn1 = CrossAttentionSeq(name="crossatt_l2a")(
+            w * x_l, v * x_a, deterministic)
+        attn2 = CrossAttentionSeq(name="crossatt_a2l")(
+            v * x_a, w * x_l, deterministic)
+        attn1 = CrossAttentionReSeq(name="crossatt_l2a_1")(
+            v * x_a, v1 * attn1, deterministic)
+        attn2 = CrossAttentionReSeq(name="crossatt_a2l_1")(
+            w * x_l, v2 * attn2, deterministic)
+
+        feats = jnp.concatenate([h, attn1, attn2], axis=-1)
+        out = TorchLinear(self.d_l, name="fc_0")(feats)
+        out = nn.relu(out)
+        out = Dropout(0.5, name="fc_drop")(out, deterministic)
+        logp = _logp_head(self, out + x_l + x_a, self.n_classes,
+                          deterministic=deterministic)
+        return logp, x_l, x_a
+
+
+# =========================================================================
+# MARN1_nsps / MARN1_no_en (GRU speaker + listener pass-through)
+# (ref model/lsthm_nsps.py:140-375, model/lsthm_no_en.py)
+# =========================================================================
+
+class MARNCellNSPS(nn.Module):
+    """nsps recurrence (ref ``lsthm_nsps.py:140-239``): GRU speaker on the
+    concatenated features U = x[i]; listener = pass-through of the OTHER
+    party's memory; q update broadcasts the listener value to non-speaker
+    slots (equivalent to a masked scatter for 2 parties)."""
+
+    dh: int = 128
+    d_in: int = 200  # d_l + d_a
+    dropout_rate: float = 0.5
+
+    @nn.compact
+    def __call__(self, x, x_l, x_a, qmask, deterministic: bool = True):
+        L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
+        H = self.dh
+
+        Wl, bWl = declare_linear(self, "lsthm_l_W", x_l.shape[-1], 4 * H)
+        Ul, bUl = declare_linear(self, "lsthm_l_U", H, 4 * H)
+        Vl, bVl = declare_linear(self, "lsthm_l_V", H, 4 * H)
+        Sl, bSl = declare_linear(self, "lsthm_l_S", H, 4 * H)
+        Wa, bWa = declare_linear(self, "lsthm_a_W", x_a.shape[-1], 4 * H)
+        Ua, bUa = declare_linear(self, "lsthm_a_U", H, 4 * H)
+        Va, bVa = declare_linear(self, "lsthm_a_V", H, 4 * H)
+        Sa, bSa = declare_linear(self, "lsthm_a_S", H, 4 * H)
+        gWih, gbih = declare_rnn_linear(self, "gru_s_ih", self.d_in, 3 * H, H)
+        gWhh, gbhh = declare_rnn_linear(self, "gru_s_hh", H, 3 * H, H)
+        declare_rnn_linear(self, "gru_l_ih", self.d_in, 3 * H, H)  # unused
+        declare_rnn_linear(self, "gru_l_hh", H, 3 * H, H)
+        wq = self.param("crossatt_l2a_Wq", tinit.ones, (H,))
+        wk = self.param("crossatt_l2a_Wk", tinit.ones, (H,))
+        self.param("crossatt_l2a_Wv", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wq", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wk", tinit.ones, (H,))
+        self.param("crossatt_a2l_Wv", tinit.ones, (H,))
+
+        xl_proj = jnp.matmul(x_l, Wl) + bWl
+        xa_proj = jnp.matmul(x_a, Wa) + bWa
+        gru_x = jnp.matmul(x, gWih) + gbih
+        K_l = jnp.concatenate([Ul, Vl, Sl], axis=0)
+        b_l = bUl + bVl + bSl
+        K_a = jnp.concatenate([Ua, Va, Sa], axis=0)
+        b_a = bUa + bVa + bSa
+
+        keys = _dropout_keys(self, deterministic, L, 4)
+
+        def step(carry, xs):
+            h_l, c_l, h_a, c_a, z, q = carry
+            xlp, xap, gxp, qm, key = xs
+            ks = None if deterministic else key
+
+            idx = jnp.argmax(qm, axis=1)
+            onehot = jax.nn.one_hot(idx, P, dtype=q.dtype)
+            qs_0 = jnp.einsum("bp,bpd->bd", onehot, q)
+            other = jax.nn.one_hot(1 - idx, P, dtype=q.dtype)
+            ql_0 = jnp.einsum("bp,bpd->bd", other, q)
+
+            h_s = gru_step(gxp, qs_0, gWhh, gbhh)
+            h_s = dropout(h_s, self.dropout_rate, deterministic,
+                          None if deterministic else ks[0])
+            m = qm[:, :, None]
+            q = ql_0[:, None, :] * (1.0 - m) + h_s[:, None, :] * m
+
+            sums_l = xlp + jnp.matmul(
+                jnp.concatenate([h_l, z, h_s], axis=-1), K_l) + b_l
+            c_l, h_l = lsthm_gates(sums_l, c_l)
+            h_l = dropout(h_l, self.dropout_rate, deterministic,
+                          None if deterministic else ks[1])
+            sums_a = xap + jnp.matmul(
+                jnp.concatenate([h_a, z, h_s], axis=-1), K_a) + b_a
+            c_a, h_a = lsthm_gates(sums_a, c_a)
+            h_a = dropout(h_a, self.dropout_rate, deterministic,
+                          None if deterministic else ks[2])
+
+            z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, deterministic,
+                                      None if deterministic else ks[3])
+            ys = (h_l, h_a, h_s, ql_0)
+            return (h_l, c_l, h_a, c_a, z, q), ys
+
+        z0 = jnp.zeros((B, H), x_l.dtype)
+        init = (z0, z0, z0, z0, z0, jnp.zeros((B, P, H), x_l.dtype))
+        _, (hl, ha, hsp, hli) = jax.lax.scan(
+            step, init, (xl_proj, xa_proj, gru_x, qmask, keys))
+        return hl, ha, hsp, hli
+
+
+class MARN1NSPS(nn.Module):
+    """MARN1_nsps / MARN1_no_en top level (ref ``lsthm_nsps.py:242-375``).
+
+    ``use_text_encoder=False`` gives no_en (text encoder calls commented out
+    in the reference; params still exist — we keep them for parity)."""
+
+    n_classes: int = 6
+    use_text_encoder: bool = True
+    d_r: int = 1024
+    d_l: int = 100
+    d_a: int = 100
+
+    @nn.compact
+    def __call__(self, x, qmask, umask, deterministic: bool = True):
+        x_l = jnp.swapaxes(x[:, :, : self.d_r], 0, 1)
+        x_a = jnp.swapaxes(x[:, :, self.d_r : self.d_r + self.d_a], 0, 1)
+        x_l = TorchLinear(self.d_l, name="linear_in")(x_l)
+        xcat = jnp.swapaxes(jnp.concatenate([x_l, x_a], axis=2), 0, 1)
+
+        enc_l = EncoderLayer(self.d_l, 40, 8, 40, 40, name="encoder_l")
+        enc_a = EncoderLayer(self.d_a, 40, 8, 40, 40, name="encoder_a")
+        if self.use_text_encoder:
+            x_l_1, _ = enc_l(x_l, deterministic=deterministic)
+            x_l, _ = enc_l(x_l + x_l_1, deterministic=deterministic)
+        else:
+            # params exist but the encoder is bypassed (lsthm_no_en.py:306-310)
+            _ = enc_l(jnp.zeros((1, 1, self.d_l)), deterministic=True)
+        x_a_1, _ = enc_a(x_a, deterministic=deterministic)
+        x_a, _ = enc_a(x_a + x_a_1, deterministic=deterministic)
+        x_l = jnp.swapaxes(x_l, 0, 1)
+        x_a = jnp.swapaxes(x_a, 0, 1)
+
+        cell_f = MARNCellNSPS(name="marn_cell_f")
+        cell_b = MARNCellNSPS(name="marn_cell_b")
+        drop = Dropout(0.5, name="dropout_rec")
+
+        hf_l, hf_a, hf_sp, _ = cell_f(xcat, x_l, x_a, qmask, deterministic)
+        hf_l = drop(hf_l, deterministic)
+        hf_a = drop(hf_a, deterministic)
+
+        rev_x = reverse_seq(xcat, umask)
+        rev_x_l = reverse_seq(x_l, umask)
+        rev_x_a = reverse_seq(x_a, umask)
+        rev_qmask = reverse_seq(qmask, umask)
+        hb_l, hb_a, hb_sp, _ = cell_b(rev_x, rev_x_l, rev_x_a, rev_qmask,
+                                      deterministic)
+        hb_l = drop(reverse_seq(hb_l, umask), deterministic)
+        hb_a = drop(reverse_seq(hb_a, umask), deterministic)
+
+        h_l = jnp.concatenate([hf_l, hb_l], axis=-1)  # [L, B, 256]
+        h_a = jnp.concatenate([hf_a, hb_a], axis=-1)
+
+        attn1 = CrossAttentionSeqLN(self.d_l, self.d_l, self.d_l,
+                                    name="crossatt_l2a")(x_l, x_a, deterministic)
+        attn2 = CrossAttentionSeqLN(self.d_a, self.d_a, self.d_a,
+                                    name="crossatt_a2l")(x_a, x_l, deterministic)
+
+        p = self.param("p", tinit.ones, (2,))
+        pw = jax.nn.softmax(p)
+
+        final_out = 2 * (2 * 128 + self.d_l)
+        resid_l = TorchLinear(final_out, name="fc_0")(x_l)
+        resid_l = Dropout(0.5, name="fc_drop")(nn.relu(resid_l), deterministic)
+        # fc2 (resid_a) computed-but-unused in the reference head
+        # (lsthm_nsps.py:351,355) — params declared for parity.
+        _ = TorchLinear(final_out, name="fc2_0")(
+            jax.lax.stop_gradient(x_a[:1, :1]))
+
+        left = jnp.concatenate([h_l, attn2], axis=2)
+        right = jnp.concatenate([h_a, attn1], axis=2)
+        feats = jnp.concatenate([pw[0] * left, pw[1] * right], axis=-1)
+        logp = _logp_head(self, feats + resid_l, self.n_classes,
+                          deterministic=deterministic)
+        return logp, x_l, x_a
+
+
+def register_variants(register, ModelSpec, marn1_inputs):
+    register(ModelSpec(
+        name="MARN1_sp",
+        build=lambda n_classes, dataset: MARN1SP(n_classes=n_classes),
+        make_inputs=marn1_inputs))
+    register(ModelSpec(
+        name="MARN1_sps",
+        build=lambda n_classes, dataset: MARN1SPS(n_classes=n_classes),
+        make_inputs=marn1_inputs))
+    register(ModelSpec(
+        name="MARN1_nsps",
+        build=lambda n_classes, dataset: MARN1NSPS(n_classes=n_classes),
+        make_inputs=marn1_inputs))
+    register(ModelSpec(
+        name="MARN1_no_en",
+        build=lambda n_classes, dataset: MARN1NSPS(
+            n_classes=n_classes, use_text_encoder=False),
+        make_inputs=marn1_inputs))
+    register(ModelSpec(
+        name="MARN1_cf",
+        build=lambda n_classes, dataset: MARN1CF(n_classes=n_classes),
+        make_inputs=marn1_inputs))
+    register(ModelSpec(
+        name="MARN1_mf",
+        build=lambda n_classes, dataset: MARN1MF(n_classes=n_classes),
+        make_inputs=marn1_inputs))
+    register(ModelSpec(
+        name="MARN1_la",
+        build=lambda n_classes, dataset: MARN1LA(n_classes=n_classes),
+        make_inputs=marn1_inputs))
+    register(ModelSpec(
+        name="MARN1_azs",
+        build=lambda n_classes, dataset: MARN1AZS(n_classes=n_classes),
+        make_inputs=marn1_inputs))

@@ -20,12 +20,17 @@ from typing import Callable
 import jax.numpy as jnp
 
 
+def _default_extract_logp(out):
+    return out[0] if isinstance(out, tuple) else out
+
+
 @dataclass(frozen=True)
 class ModelSpec:
     name: str
     build: Callable  # (n_classes, dataset) -> nn.Module
     make_inputs: Callable  # (batch dict) -> tuple of arrays
-    logp_layout: str = "bl"  # 'bl': [B*L, C] (batch-major rows)
+    logp_layout: str = "bl"  # 'bl': [B*L, C] rows; 'tb': [L*B, C] rows
+    extract_logp: Callable = _default_extract_logp  # model output -> [N, C]
 
 
 _REGISTRY: dict[str, ModelSpec] = {}
@@ -68,8 +73,12 @@ def _trimodal_inputs(batch):
 
 
 def _register_all():
-    # Imports deferred so importing the registry stays cheap.
+    from ser_tpu.models.bilstm import BiLSTM
+    from ser_tpu.models.dialogue_rnn import register_dialogue_rnn
+    from ser_tpu.models.hybrid_rnn import register_hybrid_rnn
+    from ser_tpu.models.marn_newz import MARN1NewZ
     from ser_tpu.models.marn_onlysp import MARN1OnlySP
+    from ser_tpu.models.marn_variants import register_variants
 
     register(
         ModelSpec(
@@ -78,6 +87,23 @@ def _register_all():
             make_inputs=_marn1_inputs,
         )
     )
+    register(
+        ModelSpec(
+            name="MARN1_newz",
+            build=lambda n_classes, dataset: MARN1NewZ(n_classes=6),
+            make_inputs=_marn1_inputs,
+        )
+    )
+    register(
+        ModelSpec(
+            name="BiLSTM",
+            build=lambda n_classes, dataset: BiLSTM(n_classes=6),
+            make_inputs=_marn1_inputs,
+        )
+    )
+    register_variants(register, ModelSpec, _marn1_inputs)
+    register_dialogue_rnn(register, ModelSpec, _trimodal_inputs)
+    register_hybrid_rnn(register, ModelSpec, _trimodal_inputs, _marn1_inputs)
 
 
 _register_all()

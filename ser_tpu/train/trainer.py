@@ -95,12 +95,16 @@ class ModelTrainer:
         out = self.model.apply(
             {"params": params}, *args, deterministic=deterministic, rngs=rngs
         )
-        logp = out[0] if isinstance(out, tuple) else out
-        return logp
+        return self.spec.extract_logp(out)
+
+    def _flat_targets(self, batch):
+        """labels/mask flattened to match the model's logp row layout."""
+        if self.spec.logp_layout == "tb":  # time-major rows (MARN_AT/ATV)
+            return batch["label"].T.reshape(-1), batch["umask"].T
+        return batch["label"].reshape(-1), batch["umask"]
 
     def _train_step_impl(self, params, opt_state, batch, lr, rng):
-        labels = batch["label"].reshape(-1)
-        umask = batch["umask"]
+        labels, umask = self._flat_targets(batch)
 
         def loss_fn(p):
             logp = self._forward(p, batch, deterministic=False, rng=rng)
@@ -138,8 +142,12 @@ class ModelTrainer:
             dbatch = _device_batch(batch)
             pred = np.asarray(self._eval_step(self.params, dbatch))
             preds.append(pred)
-            labels.append(np.asarray(batch["label"]).reshape(-1))
-            masks.append(np.asarray(batch["umask"]).reshape(-1))
+            if self.spec.logp_layout == "tb":
+                labels.append(np.asarray(batch["label"]).T.reshape(-1))
+                masks.append(np.asarray(batch["umask"]).T.reshape(-1))
+            else:
+                labels.append(np.asarray(batch["label"]).reshape(-1))
+                masks.append(np.asarray(batch["umask"]).reshape(-1))
         preds = np.concatenate(preds)
         labels = np.concatenate(labels)
         masks = np.concatenate(masks)
