@@ -23,6 +23,26 @@ TIME_MAJOR_KEYS = ("r1", "r2", "r3", "r4", "visuf", "acouf", "qmask")
 BATCH_MAJOR_KEYS = ("umask", "label")
 
 
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host bring-up: ``jax.distributed.initialize`` wrapper (DCN).
+
+    On a single host this is a no-op; on a multi-host slice pass the
+    coordinator/process info (or rely on the TPU env autodetection).
+    """
+    if num_processes is None and coordinator_address is None:
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass  # single-process environment
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
 def make_mesh(n_devices=None, axis="dp", platform=None):
     """Build a 1-D data-parallel mesh.
 

@@ -34,8 +34,13 @@ BATCH_ARRAY_KEYS = (
 )
 
 
-def _device_batch(batch):
-    return {k: jnp.asarray(batch[k]) for k in BATCH_ARRAY_KEYS if k in batch}
+def _device_batch(batch, mesh=None):
+    arrays = {k: jnp.asarray(batch[k]) for k in BATCH_ARRAY_KEYS if k in batch}
+    if mesh is not None:
+        from ser_tpu.parallel.mesh import shard_batch
+
+        arrays = shard_batch(arrays, mesh)
+    return arrays
 
 
 class ModelTrainer:
@@ -85,8 +90,28 @@ class ModelTrainer:
         self.opt_state = self.tx.init(self.params)
         self.lr_at = step_lr(lr, lr_decay, test_step)
 
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
-        self._eval_step = jax.jit(self._eval_step_impl)
+        if mesh is not None:
+            # Data parallelism over dialogues (SURVEY §5.8): parameters and
+            # optimizer state replicated, batches sharded over the 'dp' axis;
+            # XLA's SPMD partitioner inserts the gradient all-reduce (psum)
+            # over ICI automatically.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ser_tpu.parallel.mesh import replicate_params
+
+            self.params = replicate_params(self.params, mesh)
+            self.opt_state = replicate_params(self.opt_state, mesh)
+            replicated = NamedSharding(mesh, P())
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                donate_argnums=(0, 1),
+                out_shardings=(replicated, replicated, replicated),
+            )
+            self._eval_step = jax.jit(self._eval_step_impl)
+        else:
+            self._train_step = jax.jit(
+                self._train_step_impl, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
     def _forward(self, params, batch, deterministic, rng=None):
@@ -125,7 +150,7 @@ class ModelTrainer:
         lr = self.lr_at(epoch)
         losses, mask_sums = [], []
         for batch in loader:
-            dbatch = _device_batch(batch)
+            dbatch = _device_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, dbatch, jnp.float32(lr), step_rng
@@ -139,7 +164,7 @@ class ModelTrainer:
     def eval_network(self, loader, dump_csv=True):
         preds, labels, masks = [], [], []
         for batch in loader:
-            dbatch = _device_batch(batch)
+            dbatch = _device_batch(batch, self.mesh)
             pred = np.asarray(self._eval_step(self.params, dbatch))
             preds.append(pred)
             if self.spec.logp_layout == "tb":

@@ -56,6 +56,23 @@ def main(args):
         f"Model: {args.model} \nDataset : {args.dataset}\n" + "-" * 20 + "\n"
     )
 
+    mesh = None
+    if args.dp:
+        import jax
+
+        from ser_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        if n > 1:
+            if args.batch_size % n:
+                raise SystemExit(
+                    f"--dp needs batch_size divisible by {n} devices")
+            mesh = make_mesh(n)
+            print(f"Data-parallel mesh over {n} devices")
+        else:
+            print("--dp requested but only one device present; running single")
+    vars(args)["mesh"] = mesh
+
     if args.eval:
         s = ModelTrainer(**vars(args))
         print("Model %s loaded from previous state!" % args.initial_model)
@@ -128,6 +145,8 @@ def parser_args(argv=None):
                         help="kept for CLI parity; device = jax default")
     parser.add_argument("--synthetic", action="store_true",
                         help="generate synthetic IEMOCAP-shaped data")
+    parser.add_argument("--dp", action="store_true",
+                        help="data-parallel over all visible devices")
     args = parser.parse_args(argv)
     return init_args(args)
 
