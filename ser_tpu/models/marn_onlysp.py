@@ -59,6 +59,11 @@ class MARNCellOnlySP(nn.Module):
     dh_s: int = 128
     dropout_rate: float = 0.5
     attn_dropout: float = 0.2
+    # Recurrence backend: 'auto'/'off' use lax.scan (measured FASTER than the
+    # hand-fused Pallas kernel at IEMOCAP shapes — see ops/pallas/lsthm.py);
+    # 'on' forces the fused Pallas kernel (eval only), 'interpret' runs it
+    # in CPU-debuggable interpret mode.
+    pallas: str = "auto"
 
     @nn.compact
     def __call__(self, x_l, x_a, qmask, deterministic: bool = True):
@@ -110,6 +115,23 @@ class MARNCellOnlySP(nn.Module):
         b_a = bUa + bVa + bSa
 
         training = not deterministic
+
+        # Fused Pallas recurrence fast path (eval only: dropout-free).
+        use_pallas = (
+            not training
+            and P == 2
+            and Hl == Ha == Hs
+            and self.pallas in ("on", "interpret")
+        )
+        if use_pallas:
+            from ser_tpu.ops.pallas.lsthm import lsthm_onlysp_recurrence
+
+            return lsthm_onlysp_recurrence(
+                xl_proj, xa_proj, gru_x, qmask,
+                K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk,
+                interpret=(self.pallas == "interpret"),
+            )
+
         if training:
             keys = jax.random.split(self.make_rng("dropout"), L)
         else:

@@ -1,0 +1,176 @@
+"""Fused LSTHM dialogue-recurrence kernel (onlysp cell, eval path).
+
+The lax.scan formulation pays per-step while-loop overhead and HBM round
+trips for six [B, 128] carries at every utterance step — dominating eval
+latency since the per-step math is tiny (~12 MFLOP). This kernel runs the
+ENTIRE recurrence as one Pallas call: grid=(T,) executes sequentially on
+TPU, so the carries (h/c per modality, fusion state z, per-party speaker
+memory q) live in VMEM scratch across all steps; per-step inputs stream in
+as [1, B, .] blocks and only the per-step output leaves the chip.
+
+Covers the deterministic (eval/serving) path of
+``ser_tpu.models.marn_onlysp.MARNCellOnlySP`` — training keeps the scan
+(dropout needs per-step RNG). Validated against the scan path in tests
+(interpret mode on CPU, compiled on TPU).
+
+MEASURED RESULT (v5e-1, T=82, B=31): the XLA lax.scan lowering runs the
+recurrence in ~3.6 ms/pass while this kernel takes ~118 ms — Mosaic's
+per-grid-step block streaming and the [B, H, H] attention intermediates
+lower poorly at these tiny shapes, and XLA's fused while-loop is already
+near the latency floor. The kernel is therefore OPT-IN
+(``MARNCellOnlySP(pallas='on')``), kept as validated infrastructure for
+larger-batch serving shapes where the VMEM-resident-carry design pays off;
+the default eval path stays on lax.scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _kernel(xl_ref, xa_ref, gx_ref, oh_ref, qm_ref,
+            Kl_ref, bl_ref, Ka_ref, ba_ref, gWhh_ref, gbhh_ref,
+            wq_ref, wk_ref,
+            out_ref,
+            hl_s, cl_s, ha_s, ca_s, z_s, q0_s, q1_s,
+            *, H: int, Hs: int):
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        hl_s[:, :] = jnp.zeros_like(hl_s)
+        cl_s[:, :] = jnp.zeros_like(cl_s)
+        ha_s[:, :] = jnp.zeros_like(ha_s)
+        ca_s[:, :] = jnp.zeros_like(ca_s)
+        z_s[:, :] = jnp.zeros_like(z_s)
+        q0_s[:, :] = jnp.zeros_like(q0_s)
+        q1_s[:, :] = jnp.zeros_like(q1_s)
+
+    oh = oh_ref[0]  # [B, 2] argmax-derived one-hot
+    qm = qm_ref[0]  # [B, 2] raw qmask
+    q0 = q0_s[:, :]
+    q1 = q1_s[:, :]
+    qs0 = q0 * oh[:, 0:1] + q1 * oh[:, 1:2]
+
+    # GRU speaker update (x side precomputed)
+    hproj = jnp.dot(qs0, gWhh_ref[:, :],
+                    preferred_element_type=jnp.float32) + gbhh_ref[0]
+    xg = gx_ref[0]
+    r = _sigmoid(xg[:, :Hs] + hproj[:, :Hs])
+    zg = _sigmoid(xg[:, Hs:2 * Hs] + hproj[:, Hs:2 * Hs])
+    n = jnp.tanh(xg[:, 2 * Hs:] + r * hproj[:, 2 * Hs:])
+    h_s = (1.0 - zg) * n + zg * qs0
+
+    # masked scatter into party memory
+    q0_s[:, :] = q0 * (1.0 - qm[:, 0:1]) + h_s * qm[:, 0:1]
+    q1_s[:, :] = q1 * (1.0 - qm[:, 1:2]) + h_s * qm[:, 1:2]
+
+    z = z_s[:, :]
+
+    # text LSTHM (fused [h|z|s] @ K_l)
+    state_l = jnp.concatenate([hl_s[:, :], z, h_s], axis=-1)
+    sums_l = xl_ref[0] + jnp.dot(
+        state_l, Kl_ref[:, :], preferred_element_type=jnp.float32) + bl_ref[0]
+    c_l = _sigmoid(sums_l[:, :H]) * cl_s[:, :] + \
+        _sigmoid(sums_l[:, H:2 * H]) * jnp.tanh(sums_l[:, 3 * H:])
+    h_l = jnp.tanh(c_l) * _sigmoid(sums_l[:, 2 * H:3 * H])
+
+    # audio LSTHM
+    state_a = jnp.concatenate([ha_s[:, :], z, h_s], axis=-1)
+    sums_a = xa_ref[0] + jnp.dot(
+        state_a, Ka_ref[:, :], preferred_element_type=jnp.float32) + ba_ref[0]
+    c_a = _sigmoid(sums_a[:, :H]) * ca_s[:, :] + \
+        _sigmoid(sums_a[:, H:2 * H]) * jnp.tanh(sums_a[:, 3 * H:])
+    h_a = jnp.tanh(c_a) * _sigmoid(sums_a[:, 2 * H:3 * H])
+
+    # collapsed rank-1 cross attention: logits[b,i,k] = alpha[b,i]*wk[k]
+    s = jnp.sum(c_a * wq_ref[0][None, :], axis=-1, keepdims=True) / (H ** 0.5)
+    alpha = c_l * s  # [B, H]
+    logits = alpha[:, :, None] * wk_ref[0][None, None, :]  # [B, H, H]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    z_new = jnp.sum(e * c_a[:, None, :], axis=-1) / jnp.sum(e, axis=-1)
+
+    hl_s[:, :] = h_l
+    cl_s[:, :] = c_l
+    ha_s[:, :] = h_a
+    ca_s[:, :] = c_a
+    z_s[:, :] = z_new
+
+    out_ref[0] = jnp.concatenate([h_l, h_a, z_new, h_s], axis=-1)
+
+
+def lsthm_onlysp_recurrence(xl_proj, xa_proj, gru_x, qmask,
+                            K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk,
+                            interpret: bool = False):
+    """Run the full onlysp forward recurrence as one fused kernel.
+
+    Args (shapes; H=Hl=Ha=Hs=128):
+      xl_proj, xa_proj: [T, B, 4H]; gru_x: [T, B, 3H]; qmask: [T, B, 2].
+      K_l/K_a: [3H, 4H]; b_l/b_a: [4H]; gWhh: [H, 3H]; gbhh: [3H];
+      wq/wk: [H].
+
+    Returns [T, B, 4H] per-step outputs [h_l|h_a|z|h_s].
+
+    B is padded to a multiple of 8 internally (TPU sublane tiling).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    T, B = xl_proj.shape[0], xl_proj.shape[1]
+    H = K_l.shape[1] // 4
+    Hs = gWhh.shape[0]
+    P = qmask.shape[2]
+    assert P == 2, "fused kernel supports 2 parties (IEMOCAP)"
+
+    Bp = ((B + 7) // 8) * 8
+    if Bp != B:
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros((T, Bp - B) + x.shape[2:], x.dtype)], axis=1)
+        xl_proj, xa_proj, gru_x, qmask = map(
+            pad, (xl_proj, xa_proj, gru_x, qmask))
+
+    idx = jnp.argmax(qmask, axis=2)
+    onehot = jax.nn.one_hot(idx, P, dtype=xl_proj.dtype)  # [T, Bp, 2]
+
+    kernel = functools.partial(_kernel, H=H, Hs=Hs)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, Bp, 4 * H), jnp.float32),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, Bp, 4 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Bp, 4 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Bp, 3 * Hs), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Bp, P), lambda t: (t, 0, 0)),
+            pl.BlockSpec((1, Bp, P), lambda t: (t, 0, 0)),
+            pl.BlockSpec(K_l.shape, lambda t: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0)),
+            pl.BlockSpec(K_a.shape, lambda t: (0, 0)),
+            pl.BlockSpec((1, 4 * H), lambda t: (0, 0)),
+            pl.BlockSpec(gWhh.shape, lambda t: (0, 0)),
+            pl.BlockSpec((1, 3 * Hs), lambda t: (0, 0)),
+            pl.BlockSpec((1, H), lambda t: (0, 0)),
+            pl.BlockSpec((1, H), lambda t: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Bp, 4 * H), lambda t: (t, 0, 0)),
+        scratch_shapes=[
+            # carries live in VMEM across the sequential grid:
+            # h_l, c_l, h_a, c_a, z, q_party0, q_party1
+            pltpu.VMEM((Bp, H), jnp.float32)
+            for _ in range(7)
+        ],
+        interpret=interpret,
+    )(xl_proj, xa_proj, gru_x, onehot, qmask,
+      K_l, b_l.reshape(1, -1), K_a, b_a.reshape(1, -1),
+      gWhh, gbhh.reshape(1, -1), wq.reshape(1, -1), wk.reshape(1, -1))
+    return out[:, :B]

@@ -1,0 +1,69 @@
+"""Fused Pallas recurrence == lax.scan recurrence (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ser_tpu.data.synthetic import synthetic_batch
+from ser_tpu.models.marn_onlysp import MARN1OnlySP, MARNCellOnlySP
+
+
+def test_pallas_cell_matches_scan():
+    L, B = 11, 5
+    batch = synthetic_batch(L=L, B=B, seed=2)
+    x_l = jnp.asarray(batch["acouf"])  # any [L,B,100] features
+    x_a = jnp.asarray(batch["acouf"][:, :, ::-1].copy())
+    qmask = jnp.asarray(batch["qmask"])
+
+    scan_cell = MARNCellOnlySP(pallas="off")
+    key = jax.random.PRNGKey(0)
+    params = scan_cell.init({"params": key, "dropout": key},
+                            x_l, x_a, qmask, deterministic=True)["params"]
+
+    y_scan = scan_cell.apply({"params": params}, x_l, x_a, qmask,
+                             deterministic=True)
+    pallas_cell = MARNCellOnlySP(pallas="interpret")
+    y_pallas = pallas_cell.apply({"params": params}, x_l, x_a, qmask,
+                                 deterministic=True)
+
+    assert y_pallas.shape == y_scan.shape
+    np.testing.assert_allclose(np.asarray(y_pallas), np.asarray(y_scan),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_full_model_matches_scan():
+    L, B = 9, 3
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(L=L, B=B, seed=4).items() if k != "vid"}
+    textf = (batch["r1"] + batch["r2"] + batch["r3"] + batch["r4"]) / 4
+    x = jnp.concatenate([textf, batch["acouf"]], axis=-1)
+
+    scan_model = MARN1OnlySP(n_classes=6)
+    key = jax.random.PRNGKey(1)
+    params = scan_model.init(
+        {"params": key, "dropout": key},
+        x, batch["qmask"], batch["umask"], deterministic=True)["params"]
+
+    logp_scan = scan_model.apply(
+        {"params": params}, x, batch["qmask"], batch["umask"],
+        deterministic=True)[0]
+
+    import flax.linen as nn
+
+    class PallasModel(MARN1OnlySP):
+        pass
+
+    # swap the cells to pallas-interpret via module substitution
+    import ser_tpu.models.marn_onlysp as mod
+
+    orig = mod.MARNCellOnlySP
+    try:
+        mod.MARNCellOnlySP = lambda name: orig(pallas="interpret", name=name)
+        logp_pallas = MARN1OnlySP(n_classes=6).apply(
+            {"params": params}, x, batch["qmask"], batch["umask"],
+            deterministic=True)[0]
+    finally:
+        mod.MARNCellOnlySP = orig
+
+    np.testing.assert_allclose(np.asarray(logp_pallas),
+                               np.asarray(logp_scan), rtol=1e-5, atol=1e-5)
