@@ -1,0 +1,77 @@
+"""Experiment configuration (SURVEY §5.6).
+
+The reference configures via 15 argparse flags with every model dimension
+hard-coded in ``__init__`` bodies. Here the same flag surface is a dataclass
+(CLI argparse in train.py maps 1:1 onto it), and per-model dimensions are
+lifted into ``MODEL_DIMS`` so they are introspectable instead of buried in
+literals.
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class ExperimentConfig:
+    # training (defaults = reference train.py:107-131)
+    epoch: int = 80
+    batch_size: int = 80
+    num_workers: int = 2
+    test_step: int = 1
+    eval: bool = False
+    initial_model: str = ""
+    lr: float = 1e-3
+    lr_decay: float = 0.98
+    seed: int = 111
+    loss: str = "CrossEntropy"  # CrossEntropy / NLL
+    weight_decay: float = 2e-5
+
+    # data / paths
+    feature_path: str = "/home/workspaces/SMM22/features/"
+    roberta_path: str | None = None
+    dataset: str = "IEMOCAP"  # IEMOCAP / MELD
+    save_path: str = "exps/MARN1_onlysp"
+    synthetic: bool = False
+
+    # model
+    model: str = "MARN1_onlysp"
+    n_classes: int = 6
+
+    # parallelism
+    dp: bool = False
+
+    def to_dict(self):
+        return asdict(self)
+
+
+# Per-model dimension sheet (reference literals, lifted; see SURVEY §2.2).
+MODEL_DIMS = {
+    "MARN1_onlysp": dict(d_r=1024, d_l=100, d_a=100, dh_l=128, dh_a=128,
+                         dh_s=128, h_out=32, enc_d_inner=40, enc_heads=8,
+                         enc_dk=40, dropout=0.5, attn_dropout=0.2),
+    "MARN1_sps": dict(d_r=1024, d_l=100, d_a=100, dh=128, h_out=32,
+                      enc_d_inner=40, residual_encoder=True),
+    "MARN1_nsps": dict(d_r=1024, d_l=100, d_a=100, dh=128, h_out=32,
+                       fusion="softmax_p2", residual_head=True),
+    "MARN1_no_en": dict(like="MARN1_nsps", text_encoder=False),
+    "MARN1_sp": dict(d_l=100, d_a=100, dh=128, speaker="lsthm_q"),
+    "MARN1_cf": dict(d_l=100, d_a=100, dh=128, speaker="lstm_shared",
+                     head_attn="one_way"),
+    "MARN1_mf": dict(d_l=100, d_a=100, dh=128, z="memory_forget_gate",
+                     enc_d_inner=50),
+    "MARN1_la": dict(d_l=100, d_a=100, dh=128, z=None, input_gate="aux_lstm"),
+    "MARN1_azs": dict(d_l=100, d_a=100, dh=128, head_attn=None),
+    "MARN1_newz": dict(d_l=100, d_a=100, dh=128, z="multi_att_ema",
+                       speaker_dim=512, num_atts=4),
+    "BiLSTM": dict(d_l=100, d_a=100, dh_l=128, dh_a=16, h_out=32,
+                   enc_d_inner=50),
+    "MARN": dict(d_l=100, d_a=100, dh_l=128, dh_a=16, degenerate=True),
+    "MARN_AT": dict(d_l=100, d_a=100, dh_l=128, dh_a=16, n_classes=7,
+                    num_atts=4),
+    "MARN_ATV": dict(d_l=100, d_a=100, d_v=512, dh_l=128, dh_a=16, dh_v=64,
+                     num_atts=4),
+    "DialogueRNN": dict(D_m=712, D_g=500, D_p=500, D_e=300, D_h=300,
+                        listener_state=True, context_attention="general",
+                        dropout_rec=0.1, dropout=0.1),
+}

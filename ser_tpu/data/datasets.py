@@ -167,3 +167,66 @@ class MELDDataset:
             np.asarray(self.videoLabels[vid], dtype=np.int32),
             vid,
         )
+
+
+class IEMOCAPRobertaCometDataset:
+    """RoBERTa + 9 COMET commonsense relation tensors
+    (ref ``dataloader.py:95-143``). Unused by the trainers but part of the
+    data surface; items are 17-field tuples (r1..r4, 9 comet relations,
+    qmask, umask, label, vid)."""
+
+    N_FIELDS = 17
+    COMET_KEYS = ("xIntent", "xAttr", "xNeed", "xWant", "xEffect", "xReact",
+                  "oWant", "oEffect", "oReact")
+
+    def __init__(self, split, roberta_path, comet_path):
+        with open(roberta_path, "rb") as f:
+            (
+                self.speakers,
+                self.labels,
+                self.roberta1,
+                self.roberta2,
+                self.roberta3,
+                self.roberta4,
+                self.sentences,
+                self.trainIds,
+                self.testIds,
+                self.validIds,
+            ) = pickle.load(f, encoding="latin1")
+        with open(comet_path, "rb") as f:
+            comet = pickle.load(f, encoding="latin1")
+        for name, table in zip(self.COMET_KEYS, comet):
+            setattr(self, name, table)
+
+        if split == "train":
+            self.keys = list(self.trainIds)
+        elif split == "test":
+            self.keys = list(self.testIds)
+        elif split == "valid":
+            self.keys = list(self.validIds)
+        else:
+            raise ValueError(f"unknown split: {split}")
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index):
+        vid = self.keys[index]
+        qmask = _f32(
+            [[1, 0] if x == "M" else [0, 1] for x in self.speakers[vid]]
+        )
+        n = len(self.labels[vid])
+        fields = [
+            _f32(self.roberta1[vid]),
+            _f32(self.roberta2[vid]),
+            _f32(self.roberta3[vid]),
+            _f32(self.roberta4[vid]),
+        ]
+        fields += [_f32(getattr(self, k)[vid]) for k in self.COMET_KEYS]
+        fields += [
+            qmask,
+            np.ones(n, dtype=np.float32),
+            np.asarray(self.labels[vid], dtype=np.int32),
+            vid,
+        ]
+        return tuple(fields)

@@ -150,6 +150,79 @@ def generate_iemocap_pickles(
     return out_dir.rstrip("/") + "/"
 
 
+def generate_meld_pickles(
+    out_dir,
+    n_train=80,
+    n_test=20,
+    n_classes=7,
+    n_parties=9,
+    min_len=5,
+    max_len=25,
+    seed=0,
+):
+    """Write MELD_features_raw.pkl + meld_features_roberta.pkl under
+    ``out_dir/MELD_features/`` matching ``dataloader.py:50-92``: text 600-d,
+    audio 300-d, one-hot multi-party speaker vectors, 7-class emotion +
+    3-class sentiment label slots."""
+    rng = np.random.default_rng(seed)
+    dirpath = os.path.join(out_dir, "MELD_features")
+    os.makedirs(dirpath, exist_ok=True)
+
+    protos = {
+        "roberta1": 1.2 * rng.standard_normal((n_classes, 1024)),
+        "roberta2": 1.2 * rng.standard_normal((n_classes, 1024)),
+        "roberta3": 1.2 * rng.standard_normal((n_classes, 1024)),
+        "roberta4": 1.2 * rng.standard_normal((n_classes, 1024)),
+        "text": rng.standard_normal((n_classes, 600)),
+        "audio": 0.8 * rng.standard_normal((n_classes, 300)),
+    }
+    noise = {k: 2.0 for k in protos}
+
+    videoIDs, videoSpeakers, videoLabels = {}, {}, {}
+    videoText, videoAudio, videoSentence, videoSentiment = {}, {}, {}, {}
+    rob = {k: {} for k in ("roberta1", "roberta2", "roberta3", "roberta4")}
+    speakers_map, emo_map, senti_map, sentences_map = {}, {}, {}, {}
+
+    all_vids = list(range(n_train + n_test))
+    for vid in all_vids:
+        n_utt = int(rng.integers(min_len, max_len + 1))
+        labels = rng.integers(0, n_classes, size=n_utt)
+        speakers = rng.integers(0, n_parties, size=n_utt)
+        onehot = np.eye(n_parties, dtype=np.float32)[speakers]
+        videoIDs[vid] = [f"{vid}_utt{t}" for t in range(n_utt)]
+        videoSpeakers[vid] = onehot.tolist()
+        videoLabels[vid] = labels.tolist()
+        videoSentiment[vid] = (labels % 3).tolist()
+        videoSentence[vid] = [f"meld utterance {t}" for t in range(n_utt)]
+        for name in ("text", "audio"):
+            x = protos[name][labels] + noise[name] * rng.standard_normal(
+                (n_utt, protos[name].shape[1]))
+            (videoText if name == "text" else videoAudio)[vid] = \
+                x.astype(np.float32)
+        for k in rob:
+            x = protos[k][labels] + noise[k] * rng.standard_normal(
+                (n_utt, 1024))
+            rob[k][vid] = x.astype(np.float32)
+        speakers_map[vid] = videoSpeakers[vid]
+        emo_map[vid] = videoLabels[vid]
+        senti_map[vid] = videoSentiment[vid]
+        sentences_map[vid] = videoSentence[vid]
+
+    trainVid, testVid = all_vids[:n_train], all_vids[n_train:]
+    with open(os.path.join(dirpath, "MELD_features_raw.pkl"), "wb") as f:
+        pickle.dump(
+            (videoIDs, videoSpeakers, videoLabels, videoText, videoAudio,
+             videoSentence, trainVid, testVid, videoSentiment), f)
+    valid_split = int(0.2 * len(trainVid))
+    with open(os.path.join(dirpath, "meld_features_roberta.pkl"), "wb") as f:
+        pickle.dump(
+            (speakers_map, emo_map, senti_map,
+             rob["roberta1"], rob["roberta2"], rob["roberta3"],
+             rob["roberta4"], sentences_map,
+             trainVid[valid_split:], testVid, trainVid[:valid_split]), f)
+    return out_dir.rstrip("/") + "/"
+
+
 def synthetic_batch(L=110, B=80, n_classes=6, seed=0, d_text=1024, d_audio=100,
                     d_visual=512, min_len=None):
     """In-memory padded batch dict at IEMOCAP-realistic shapes."""
