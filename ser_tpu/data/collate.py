@@ -13,6 +13,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:
+    from ser_tpu import native
+except Exception:  # pragma: no cover - compiler-less environments
+    native = None
+
 DEFAULT_BUCKETS = (8, 16, 24, 32, 48, 64, 96, 128, 160, 192, 256)
 
 
@@ -46,21 +51,29 @@ def collate(items, pad_length=None, pad_batch=None, buckets=DEFAULT_BUCKETS):
 
     names = ["r1", "r2", "r3", "r4", "visuf", "acouf", "qmask"]
     out = {}
-    for i, name in enumerate(names):
-        d = items[0][i].shape[-1]
-        arr = np.zeros((L, B, d), dtype=np.float32)
+    if native is not None and native.AVAILABLE:
+        # C fast path (ser_tpu/native): memcpy-based ragged->padded scatter.
+        for i, name in enumerate(names):
+            out[name] = native.pad_time_major([it[i] for it in items], L, B)
+        out["umask"] = native.pad_batch_first(
+            [it[7] for it in items], L, B, np.float32)
+        out["label"] = native.pad_batch_first(
+            [it[8] for it in items], L, B, np.int32)
+    else:
+        for i, name in enumerate(names):
+            d = items[0][i].shape[-1]
+            arr = np.zeros((L, B, d), dtype=np.float32)
+            for b, it in enumerate(items):
+                t = it[i].shape[0]
+                arr[:t, b] = it[i]
+            out[name] = arr
+        umask = np.zeros((B, L), dtype=np.float32)
+        label = np.zeros((B, L), dtype=np.int32)
         for b, it in enumerate(items):
-            t = it[i].shape[0]
-            arr[:t, b] = it[i]
-        out[name] = arr
-
-    umask = np.zeros((B, L), dtype=np.float32)
-    label = np.zeros((B, L), dtype=np.int32)
-    for b, it in enumerate(items):
-        t = it[8].shape[0]
-        umask[b, :t] = it[7]
-        label[b, :t] = it[8]
-    out["umask"] = umask
-    out["label"] = label
+            t = it[8].shape[0]
+            umask[b, :t] = it[7]
+            label[b, :t] = it[8]
+        out["umask"] = umask
+        out["label"] = label
     out["vid"] = [it[9] for it in items] + [None] * (B - n)
     return out

@@ -63,6 +63,45 @@ class EpochLoader:
             )
 
 
+class PrefetchLoader:
+    """Overlaps host batch assembly with device compute: a background thread
+    keeps up to ``depth`` collated batches ready (the reference gets the same
+    effect from torch DataLoader(num_workers=2), ``dataloader.py:164-180``)."""
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def num_examples(self):
+        return self.loader.num_examples()
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q = queue.Queue(maxsize=self.depth)
+        stop = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+
+
 def get_train_valid_indices(n, valid=0.1):
     """First ``valid`` fraction of index order -> valid, rest -> train
     (ref ``dataloader.py:146-150``)."""
