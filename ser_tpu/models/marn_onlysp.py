@@ -66,7 +66,8 @@ class MARNCellOnlySP(nn.Module):
     pallas: str = "auto"
 
     @nn.compact
-    def __call__(self, x_l, x_a, qmask, deterministic: bool = True):
+    def __call__(self, x_l, x_a, qmask, deterministic: bool = True,
+                 mode: str = "run"):
         L, B = x_l.shape[0], x_l.shape[1]
         P = qmask.shape[2]
         Hl, Ha, Hs = self.dh_l, self.dh_a, self.dh_s
@@ -113,6 +114,14 @@ class MARNCellOnlySP(nn.Module):
         b_l = bUl + bVl + bSl
         K_a = jnp.concatenate([Ua, Va, Sa], axis=0)  # [Ha+Hl+Hs, 4Ha]
         b_a = bUa + bVa + bSa
+
+        if mode == "gather":
+            # Hand the hoisted projections + fused kernels to the caller so
+            # both directions can run as ONE scan with a direction-vmapped
+            # step (see MARN1OnlySP eval path).
+            seqs = (xl_proj, xa_proj, gru_x, qmask)
+            consts = (K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk)
+            return seqs, consts
 
         training = not deterministic
 
@@ -180,6 +189,29 @@ class MARNCellOnlySP(nn.Module):
         return h  # [L, B, Hl+Ha+Hl+Hs]
 
 
+def _eval_step(consts, carry, xs):
+    """Dropout-free onlysp recurrence step (pure; vmappable over the
+    direction axis so forward+backward run as one scan at eval)."""
+    K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk = consts
+    h_l, c_l, h_a, c_a, z, q = carry
+    xlp, xap, gxp, qm = xs
+
+    qs0 = select_parties(q, qm)
+    h_s = gru_step(gxp, qs0, gWhh, gbhh)
+    q = scatter_parties(q, qm, h_s)
+
+    sums_l = xlp + jnp.matmul(
+        jnp.concatenate([h_l, z, h_s], axis=-1), K_l) + b_l
+    c_l, h_l = lsthm_gates(sums_l, c_l)
+    sums_a = xap + jnp.matmul(
+        jnp.concatenate([h_a, z, h_s], axis=-1), K_a) + b_a
+    c_a, h_a = lsthm_gates(sums_a, c_a)
+
+    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.0, True, None)
+    y = jnp.concatenate([h_l, h_a, z, h_s], axis=-1)
+    return (h_l, c_l, h_a, c_a, z, q), y
+
+
 class MARN1OnlySP(nn.Module):
     """Top-level MARN1_onlysp (ref ``model/lsthm_onlysp.py:210-320``).
 
@@ -192,6 +224,10 @@ class MARN1OnlySP(nn.Module):
     d_r: int = 1024
     d_l: int = 100
     d_a: int = 100
+    # Eval-time fusion: run the forward and backward recurrences as ONE scan
+    # with a direction-vmapped step (halves the number of sequential steps;
+    # identical math — the directions are independent until the concat).
+    fuse_eval_directions: bool = True
 
     @nn.compact
     def __call__(self, x, qmask, umask, deterministic: bool = True):
@@ -212,17 +248,40 @@ class MARN1OnlySP(nn.Module):
         x_l = jnp.swapaxes(x_l, 0, 1)  # [L, B, 100]
         x_a = jnp.swapaxes(x_a, 0, 1)
 
-        # Forward recurrence.
-        h_f = MARNCellOnlySP(name="marn_cell_f")(x_l, x_a, qmask, deterministic)
-        h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
-
-        # Backward recurrence on mask-aware-reversed inputs.
+        cell_f = MARNCellOnlySP(name="marn_cell_f")
+        cell_b = MARNCellOnlySP(name="marn_cell_b")
         rev_x_l = reverse_seq(x_l, umask)
         rev_x_a = reverse_seq(x_a, umask)
         rev_qmask = reverse_seq(qmask, umask)
-        h_b = MARNCellOnlySP(name="marn_cell_b")(
-            rev_x_l, rev_x_a, rev_qmask, deterministic
-        )
+
+        if deterministic and self.fuse_eval_directions:
+            # Both directions in one scan: stack per-step inputs on a
+            # direction axis and vmap the dropout-free step over it.
+            seqs_f, consts_f = cell_f(x_l, x_a, qmask, True, mode="gather")
+            seqs_b, consts_b = cell_b(rev_x_l, rev_x_a, rev_qmask, True,
+                                      mode="gather")
+            seqs = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
+            consts = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
+
+            L, B = x_l.shape[0], x_l.shape[1]
+            P = qmask.shape[2]
+            z2 = lambda *s: jnp.zeros((2,) + s, x_l.dtype)
+            init = (z2(B, 128), z2(B, 128), z2(B, 128), z2(B, 128),
+                    z2(B, 128), z2(B, P, 128))
+
+            def step(carry, xs):
+                return jax.vmap(_eval_step, in_axes=(0, 0, 0))(
+                    consts, carry, xs)
+
+            _, ys = jax.lax.scan(step, init, seqs)  # [L, 2, B, 512]
+            h_f, h_b = ys[:, 0], ys[:, 1]
+        else:
+            h_f = cell_f(x_l, x_a, qmask, deterministic)
+            h_b = cell_b(rev_x_l, rev_x_a, rev_qmask, deterministic)
+
+        h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
         h_b = reverse_seq(h_b, umask)
         h_b = Dropout(0.5, name="dropout_rec_b")(h_b, deterministic)
         h = jnp.concatenate([h_f, h_b], axis=-1)

@@ -42,6 +42,26 @@ def unflatten_into(params, flat, sep="/"):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def save_parameters_orbax(params, path):
+    """Orbax backend (async-capable, sharding-aware) for large-scale runs.
+
+    The default .npz path (``save_parameters``) is the right tool at this
+    model scale (~2.6M params); orbax is provided for multi-host /
+    async-save deployments (SURVEY §5.3).
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), params, force=True)
+
+
+def load_parameters_orbax(params, path):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), params)
+
+
 def save_parameters(params, path):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     flat = flatten_params(params)

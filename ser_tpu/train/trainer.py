@@ -188,6 +188,24 @@ class ModelTrainer:
         f1 = weighted_f1(labels, preds, masks)
         return acc, f1, {}
 
+    def fusion_weights(self):
+        """Learned scalar fusion weights, when the model has them.
+
+        The reference tracked these into parameters.csv (train.py:71,80-81;
+        producer vestigial at model_trainer.py:160-167). Returns e.g.
+        {'w': ..., 'v': ..., 'v1': ..., 'v2': ...} or softmax'd 'p' weights;
+        empty dict for models without scalar fusion."""
+        out = {}
+        for name in ("w", "v", "v1", "v2", "w1", "w2"):
+            if name in self.params:
+                arr = np.asarray(self.params[name]).reshape(-1)
+                out[name] = float(arr[0]) if arr.size == 1 else arr.tolist()
+        if "p" in self.params:
+            p = np.asarray(self.params["p"])
+            sm = np.exp(p) / np.exp(p).sum()
+            out["p"] = sm.tolist()
+        return out
+
     # ------------------------------------------------------------------
     def save_parameters(self, path):
         ckpt.save_parameters(self.params, path)
