@@ -23,6 +23,19 @@ def weighted_accuracy(labels, preds, masks) -> float:
     return round(float(correct / total) * 100, 2)
 
 
+def topk_accuracy(output, target, topk=(1,)):
+    """Precision@k (ref ``utils.py:107-120``): output [N, C] scores,
+    target [N]; returns a list of percentages, one per k."""
+    output = np.asarray(output)
+    target = np.asarray(target)
+    maxk = max(topk)
+    # top-maxk predictions per row, best first
+    pred = np.argsort(-output, axis=1)[:, :maxk]
+    correct = pred == target[:, None]
+    return [round(float(correct[:, :k].any(axis=1).mean()) * 100, 4)
+            for k in topk]
+
+
 def weighted_f1(labels, preds, masks) -> float:
     """Weighted-average F1 with sample weights, sklearn-compatible.
 
