@@ -68,7 +68,12 @@ def plot_parameters(parameters_path, out_dir):
     import matplotlib.pyplot as plt
     import pandas as pd
 
-    df = pd.read_csv(parameters_path)
+    try:
+        df = pd.read_csv(parameters_path)
+    except pd.errors.EmptyDataError:
+        # the reference's own parameters.csv ships empty (vestigial
+        # producer, model_trainer.py:160-167)
+        return None
     if df.empty:
         return None
     os.makedirs(out_dir, exist_ok=True)

@@ -32,6 +32,11 @@ warnings.simplefilter("ignore")
 def main(args):
     seed_everything(args.seed)
 
+    if args.debug_nans:
+        from ser_tpu.utils.profiling import enable_nan_checks
+
+        enable_nan_checks(True)
+
     if args.synthetic:
         import tempfile
 
@@ -50,6 +55,11 @@ def main(args):
         seed=args.seed,
         roberta_path=args.roberta_path,
     )
+    if args.num_workers > 0:
+        from ser_tpu.data.loaders import PrefetchLoader
+
+        train_loader = PrefetchLoader(train_loader)
+        test_loader = PrefetchLoader(test_loader)
 
     score_file = open(args.score_save_path, "a+")
     score_file.write(
@@ -147,6 +157,8 @@ def parser_args(argv=None):
                         help="generate synthetic IEMOCAP-shaped data")
     parser.add_argument("--dp", action="store_true",
                         help="data-parallel over all visible devices")
+    parser.add_argument("--debug_nans", action="store_true",
+                        help="raise on first NaN (jax_debug_nans)")
     args = parser.parse_args(argv)
     return init_args(args)
 
