@@ -49,6 +49,13 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+def synthetic_like_train(seed=1):
+    """Reference training shape: batch 80 dialogues, IEMOCAP lengths."""
+    from ser_tpu.data.synthetic import synthetic_batch
+
+    return synthetic_batch(L=110, B=80, seed=seed, min_len=20)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -95,6 +102,53 @@ def main():
     sec = max((t_long - t_short) / (iters - 1), 1e-9)
     utts_per_sec = n_utts / sec
 
+    # --- secondary: training throughput at the reference train shape ---
+    import optax
+
+    from ser_tpu.train.losses import masked_loss
+    from ser_tpu.train.optim import torch_adam
+
+    train_batch = synthetic_like_train(seed=1)
+    tb = {k: jnp.asarray(v) for k, v in train_batch.items() if k != "vid"}
+    targs = spec.make_inputs(tb)
+    tlabels = tb["label"].reshape(-1)
+    tx = torch_adam()
+    opt = tx.init(params)
+
+    def train_step(p, o, x, rng):
+        def loss_fn(pp):
+            logp = model.apply(
+                {"params": pp}, x, targs[1], targs[2], deterministic=False,
+                rngs={"dropout": rng})[0]
+            return masked_loss(logp, tlabels, tb["umask"])
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        o.hyperparams["learning_rate"] = jnp.float32(1e-3)
+        upd, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, upd), o, loss
+
+    def _train_loop(p, o, x, rng, n):
+        def body(i, carry):
+            pp, oo, r = carry
+            r, sub = jax.random.split(r)
+            pp, oo, _ = train_step(pp, oo, x, sub)
+            return (pp, oo, r)
+        out = jax.lax.fori_loop(0, n, body, (p, o, rng))
+        return jax.tree_util.tree_leaves(out[0])[0].sum()
+
+    train_loop = jax.jit(_train_loop, static_argnums=4)
+    rng0 = jax.random.PRNGKey(2)
+    titers = 11
+    t_long = min(
+        _timed(lambda: float(train_loop(params, opt, targs[0], rng0, titers)))
+        for _ in range(3))
+    t_short = min(
+        _timed(lambda: float(train_loop(params, opt, targs[0], rng0, 1)))
+        for _ in range(3))
+    train_sec = max((t_long - t_short) / (titers - 1), 1e-9)
+    train_utts = float(np.sum(train_batch["umask"]))
+    train_utts_per_sec = train_utts / train_sec
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baselines", "torch_cpu.json"
     )
@@ -114,6 +168,9 @@ def main():
                 "detail": {
                     "seconds_per_pass": sec,
                     "n_utterances": n_utts,
+                    "train_utterances_per_sec": round(train_utts_per_sec, 1),
+                    "train_seconds_per_step": round(train_sec, 5),
+                    "train_shape": list(train_batch["r1"].shape[:2]),
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

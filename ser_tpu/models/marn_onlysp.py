@@ -185,6 +185,14 @@ class MARNCellOnlySP(nn.Module):
             jnp.zeros((B, Hl), x_l.dtype),
             jnp.zeros((B, P, Hs), x_l.dtype),
         )
+        if training:
+            # Rematerialize the step in the backward pass: bounds residual
+            # memory to O(carry) per step instead of the [B, H, H] attention
+            # intermediates (~6 GB per direction at IEMOCAP train shapes).
+            # Measured neutral on step time at batch 80 (XLA's scheduling
+            # already hides the traffic there); kept for memory headroom at
+            # larger serving/training batches.
+            step = jax.checkpoint(step)
         _, h = jax.lax.scan(step, init_carry, (xl_proj, xa_proj, gru_x, qmask, keys))
         return h  # [L, B, Hl+Ha+Hl+Hs]
 
