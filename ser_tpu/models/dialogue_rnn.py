@@ -35,6 +35,7 @@ class DialogueRNNScan(nn.Module):
     D_e: int
     listener_state: bool = False
     dropout_rate: float = 0.5
+    context_attention: str = "general"  # 'simple' | 'general' | 'general2'
 
     @nn.compact
     def __call__(self, U, qmask, deterministic: bool = True):
@@ -52,9 +53,23 @@ class DialogueRNNScan(nn.Module):
                 self, "l_cell_ih", D_m + D_p, 3 * D_p, D_p)
             lWhh, lbhh = declare_rnn_linear(
                 self, "l_cell_hh", D_p, 3 * D_p, D_p)
-        # 'general' MatchingAttention: transform Linear(D_m -> D_g, no bias)
-        attT, _ = declare_linear(self, "attention_transform", D_m, D_g,
-                                 use_bias=False)
+        if self.context_attention == "simple":
+            # SimpleAttention: scalar Linear(D_g -> 1, no bias)
+            attS, _ = declare_linear(self, "attention_scalar", D_g, 1,
+                                     use_bias=False)
+            attT = attB = None
+        elif self.context_attention == "general":
+            # MatchingAttention 'general': Linear(D_m -> D_g, no bias)
+            attT, _ = declare_linear(self, "attention_transform", D_m, D_g,
+                                     use_bias=False)
+            attS = attB = None
+        elif self.context_attention == "general2":
+            attT, attB = declare_linear(self, "attention_transform", D_m, D_g,
+                                        use_bias=True)
+            attS = None
+        else:
+            raise ValueError(
+                f"unknown context_attention: {self.context_attention}")
 
         training = not deterministic
         if training:
@@ -77,7 +92,14 @@ class DialogueRNNScan(nn.Module):
                          None if deterministic else ks[0])
 
             # attention over g_hist prefix (empty prefix -> zeros, alpha None)
-            scores = jnp.einsum("bd,jbd->bj", jnp.matmul(u, attT), g_hist)
+            if self.context_attention == "simple":
+                scores = jnp.einsum("jbd,dk->bj",
+                                    g_hist, attS)  # scalar per step
+            elif self.context_attention == "general2":
+                scores = jnp.einsum(
+                    "bd,jbd->bj", jnp.matmul(u, attT) + attB, g_hist)
+            else:
+                scores = jnp.einsum("bd,jbd->bj", jnp.matmul(u, attT), g_hist)
             prefix = (steps[None, :] < t)
             alpha = jax.nn.softmax(jnp.where(prefix, scores, -1e9), axis=1)
             c_ = jnp.einsum("bj,jbd->bd", alpha, g_hist)
@@ -157,8 +179,9 @@ class BiModel(nn.Module):
     D_p: int = 500
     D_e: int = 300
     D_h: int = 300
-    n_classes: int = 6
-    listener_state: bool = True
+    n_classes: int = 7  # reference class defaults (DialogueRNN.py:203-205)
+    listener_state: bool = False
+    context_attention: str = "simple"
     dropout_rec: float = 0.5
     dropout: float = 0.5
 
@@ -167,10 +190,10 @@ class BiModel(nn.Module):
                  deterministic: bool = True):
         rnn_f = DialogueRNNScan(self.D_m, self.D_g, self.D_p, self.D_e,
                                 self.listener_state, self.dropout_rec,
-                                name="dialog_rnn_f")
+                                self.context_attention, name="dialog_rnn_f")
         rnn_r = DialogueRNNScan(self.D_m, self.D_g, self.D_p, self.D_e,
                                 self.listener_state, self.dropout_rec,
-                                name="dialog_rnn_r")
+                                self.context_attention, name="dialog_rnn_r")
         # self.dropout_rec = Dropout(dropout + 0.15) in the reference
         # (DialogueRNN.py:215) — applied to the emotion sequences.
         drop_rec = Dropout(self.dropout + 0.15, name="dropout_rec_mod")
@@ -211,7 +234,7 @@ def register_dialogue_rnn(register, ModelSpec, trimodal_inputs):
         name="DialogueRNN",
         build=lambda n_classes, dataset: BiModel(
             D_m=712, D_g=500, D_p=500, D_e=300, D_h=300,
-            n_classes=6, listener_state=True,
+            n_classes=6, listener_state=True, context_attention="general",
             dropout_rec=0.1, dropout=0.1),
         make_inputs=trimodal_inputs,
         extract_logp=extract))

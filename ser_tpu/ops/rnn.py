@@ -32,6 +32,36 @@ def lstm_scan(x_proj, hh_kernel, hh_bias, reverse=False):
     return ys
 
 
+class TorchGRU(nn.Module):
+    """``nn.GRU(input, hidden)`` (single direction) on time-major [L, B, D].
+
+    Returns (outputs [L, B, H], h_last [B, H]).
+    """
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x, h0=None):
+        from ser_tpu.ops.cells import gru_step
+
+        H = self.hidden
+        D = x.shape[-1]
+        wih, bih = declare_rnn_linear(self, "weight_ih_l0", D, 3 * H, H)
+        whh, bhh = declare_rnn_linear(self, "weight_hh_l0", H, 3 * H, H)
+
+        x_proj = jnp.matmul(x, wih) + bih
+        B = x.shape[1]
+        if h0 is None:
+            h0 = jnp.zeros((B, H), x.dtype)
+
+        def step(h, xp):
+            h = gru_step(xp, h, whh, bhh)
+            return h, h
+
+        h_last, ys = jax.lax.scan(step, h0, x_proj)
+        return ys, h_last
+
+
 class TorchBiLSTM(nn.Module):
     """``nn.LSTM(input, hidden, bidirectional=True)`` on time-major [L, B, D].
 

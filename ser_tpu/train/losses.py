@@ -45,6 +45,31 @@ def masked_loss(pred, target, mask, kind: str = "CrossEntropy", weight=None):
     return jnp.sum(rowloss * w) / jnp.sum(w * mask_.reshape(-1))
 
 
+def masked_nll_loss(pred, target, mask, weight=None):
+    """MaskedNLLLoss (ref ``model/DialogueRNN.py:517-537``) — identical to
+    masked_loss(kind='NLL')."""
+    return masked_loss(pred, target, mask, kind="NLL", weight=weight)
+
+
+def masked_mse_loss(pred, target, mask):
+    """MaskedMSELoss (ref ``model/DialogueRNN.py:539-552``): pred/target/mask
+    are flat [N]; sum((pred*mask - target)^2) / sum(mask)."""
+    return jnp.sum(jnp.square(pred * mask - target)) / jnp.sum(mask)
+
+
+def unmasked_weighted_nll_loss(pred, target, weight=None):
+    """UnMaskedWeightedNLLLoss (ref ``model/DialogueRNN.py:687-705``).
+    Note the reference quirk: with weight=None the loss is the raw SUM
+    (no normalization)."""
+    onehot = jax.nn.one_hot(target, pred.shape[-1], dtype=pred.dtype)
+    if weight is None:
+        rowloss = -jnp.sum(pred * onehot, axis=-1)
+        return jnp.sum(rowloss)
+    w = weight[target]
+    rowloss = -jnp.sum(pred * onehot, axis=-1) * w
+    return jnp.sum(rowloss) / jnp.sum(w)
+
+
 def info_nce(
     query,
     positive_key,

@@ -881,7 +881,8 @@ def test_dialogue_rnn_logit_parity():
     from ser_tpu.models.dialogue_rnn import BiModel
 
     model = BiModel(D_m=712, D_g=500, D_p=500, D_e=300, D_h=300, n_classes=6,
-                    listener_state=True, dropout_rec=0.1, dropout=0.1)
+                    listener_state=True, context_attention="general",
+                    dropout_rec=0.1, dropout=0.1)
 
     def extract(out):
         lp = out[0]
