@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 
 from ser_tpu.ops import init as tinit
-from ser_tpu.ops.attention import CrossAttentionSeq  # noqa: F401 (not used)
 from ser_tpu.ops.cells import declare_linear, lsthm_gates
 from ser_tpu.ops.encoder import EncoderLayer
 from ser_tpu.ops.layers import Dropout, TorchLinear, dropout

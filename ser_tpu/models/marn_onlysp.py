@@ -220,6 +220,33 @@ def _eval_step(consts, carry, xs):
     return (h_l, c_l, h_a, c_a, z, q), y
 
 
+def _train_step_dir(consts, carry, xs, dropout_rate=0.5, attn_dropout=0.2):
+    """Training-mode onlysp step with per-direction dropout keys
+    (vmappable over the direction axis like _eval_step)."""
+    K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk = consts
+    h_l, c_l, h_a, c_a, z, q = carry
+    xlp, xap, gxp, qm, key = xs
+    k_s, k_l, k_a, k_z = jax.random.split(key, 4)
+
+    qs0 = select_parties(q, qm)
+    h_s = gru_step(gxp, qs0, gWhh, gbhh)
+    h_s = dropout(h_s, dropout_rate, False, k_s)
+    q = scatter_parties(q, qm, h_s)
+
+    sums_l = xlp + jnp.matmul(
+        jnp.concatenate([h_l, z, h_s], axis=-1), K_l) + b_l
+    c_l, h_l = lsthm_gates(sums_l, c_l)
+    h_l = dropout(h_l, dropout_rate, False, k_l)
+    sums_a = xap + jnp.matmul(
+        jnp.concatenate([h_a, z, h_s], axis=-1), K_a) + b_a
+    c_a, h_a = lsthm_gates(sums_a, c_a)
+    h_a = dropout(h_a, dropout_rate, False, k_a)
+
+    z = rank1_cross_attention(c_l, c_a, wq, wk, attn_dropout, False, k_z)
+    y = jnp.concatenate([h_l, h_a, z, h_s], axis=-1)
+    return (h_l, c_l, h_a, c_a, z, q), y
+
+
 class MARN1OnlySP(nn.Module):
     """Top-level MARN1_onlysp (ref ``model/lsthm_onlysp.py:210-320``).
 
@@ -262,9 +289,12 @@ class MARN1OnlySP(nn.Module):
         rev_x_a = reverse_seq(x_a, umask)
         rev_qmask = reverse_seq(qmask, umask)
 
-        if deterministic and self.fuse_eval_directions:
+        if self.fuse_eval_directions:
             # Both directions in one scan: stack per-step inputs on a
-            # direction axis and vmap the dropout-free step over it.
+            # direction axis and vmap the step over it. (At train time the
+            # per-direction dropout keys ride along as scan inputs; the RNG
+            # stream differs from the unfused path but is distributionally
+            # identical.)
             seqs_f, consts_f = cell_f(x_l, x_a, qmask, True, mode="gather")
             seqs_b, consts_b = cell_b(rev_x_l, rev_x_a, rev_qmask, True,
                                       mode="gather")
@@ -279,9 +309,19 @@ class MARN1OnlySP(nn.Module):
             init = (z2(B, 128), z2(B, 128), z2(B, 128), z2(B, 128),
                     z2(B, 128), z2(B, P, 128))
 
-            def step(carry, xs):
-                return jax.vmap(_eval_step, in_axes=(0, 0, 0))(
-                    consts, carry, xs)
+            if deterministic:
+                def step(carry, xs):
+                    return jax.vmap(_eval_step, in_axes=(0, 0, 0))(
+                        consts, carry, xs)
+            else:
+                keys = jax.random.split(self.make_rng("dropout"), (L, 2))
+
+                def raw_step(carry, xs):
+                    return jax.vmap(_train_step_dir, in_axes=(0, 0, 0))(
+                        consts, carry, xs)
+
+                step = jax.checkpoint(raw_step)
+                seqs = seqs + (keys,)
 
             _, ys = jax.lax.scan(step, init, seqs)  # [L, 2, B, 512]
             h_f, h_b = ys[:, 0], ys[:, 1]

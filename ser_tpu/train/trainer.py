@@ -14,7 +14,6 @@ is a jit-compiled forward + argmax. Matches the reference surface:
 
 from __future__ import annotations
 
-import functools
 import time
 
 import jax
