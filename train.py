@@ -106,6 +106,13 @@ def main(args):
                 args.model_save_path + "/model_%04d.model" % epoch
             )
             acc, fscore, parame = trainer.eval_network(test_loader)
+            # the reference's fusion-weight tracker is vestigial
+            # (model_trainer.py:160-168 returns {}); we feed the same
+            # pipeline from the live params so parameters.csv and
+            # analysis.py's trajectory plot actually work.
+            parame = dict(parame)
+            for k, v in trainer.fusion_weights().items():
+                parame.setdefault(k, v)
             for k, v in parame.items():
                 w_dic[k].append(v)
             fscores.append(fscore)
