@@ -214,7 +214,8 @@ class MARNCellSharedLSTM(nn.Module):
     d_in: int = 100
 
     @nn.compact
-    def __call__(self, x_l, x_a, qmask, deterministic: bool = True):
+    def __call__(self, x_l, x_a, qmask, deterministic: bool = True,
+                 mode: str = "run"):
         L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
         H = self.dh
 
@@ -247,6 +248,13 @@ class MARNCellSharedLSTM(nn.Module):
             b_l = bUl + bVl
             K_a = jnp.concatenate([Ua, Va], axis=0)
             b_a = bUa + bVa
+
+        if mode == "gather":
+            # expose hoisted projections + kernels so the caller can run
+            # both directions as one direction-vmapped scan (this cell has
+            # no in-cell dropout, so fusion covers train AND eval).
+            return ((xl_proj, xa_proj, qmask),
+                    (K_l, b_l, K_a, b_a, sWih, sbih, sWhh, sbhh, wq, wk))
 
         def step(carry, xs):
             h_l, c_l, h_a, c_a, h_s, c_s, z, q = carry
@@ -307,10 +315,13 @@ class MARN1CF(nn.Module):
 
         cell_f = MARNCellSharedLSTM(False, True, name="marn_cell_f")
         cell_b = MARNCellSharedLSTM(False, True, name="marn_cell_b")
-        h_f = Dropout(0.5, name="dropout_rec")(
-            cell_f(x_l, x_a, qmask, deterministic), deterministic)
-        h_b = cell_b(reverse_seq(x_l, umask), reverse_seq(x_a, umask),
-                     reverse_seq(qmask, umask), deterministic)
+        h_f, h_b = _fused_shared_lstm(
+            cell_f, cell_b,
+            (x_l, x_a, qmask),
+            (reverse_seq(x_l, umask), reverse_seq(x_a, umask),
+             reverse_seq(qmask, umask)),
+            use_speaker_term=False, emit_q=True, deterministic=deterministic)
+        h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
         h_b = Dropout(0.5, name="dropout_rec_b")(
             reverse_seq(h_b, umask), deterministic)
         h = jnp.concatenate([h_f, h_b], axis=-1)
@@ -338,7 +349,7 @@ class MARN1AZS(nn.Module):
 
     @nn.compact
     def __call__(self, x, qmask, umask, deterministic: bool = True):
-        def run_cell(name, xx, qm):
+        def encode(name, xx):
             x_l = jnp.swapaxes(xx[:, :, : self.d_l], 0, 1)
             x_a = jnp.swapaxes(
                 xx[:, :, self.d_l : self.d_l + self.d_a], 0, 1)
@@ -348,22 +359,82 @@ class MARN1AZS(nn.Module):
             x_a, _ = EncoderLayer(100, 50, 8, 40, 40,
                                   name=f"{name}_encoder_a")(
                 x_a, deterministic=deterministic)
-            x_l = jnp.swapaxes(x_l, 0, 1)
-            x_a = jnp.swapaxes(x_a, 0, 1)
-            return MARNCellSharedLSTM(True, False, name=name)(
-                x_l, x_a, qm, deterministic)
+            return jnp.swapaxes(x_l, 0, 1), jnp.swapaxes(x_a, 0, 1)
 
-        h_f = Dropout(0.5, name="dropout_rec")(
-            run_cell("marn_cell_f", x, qmask), deterministic)
         rev_x = reverse_seq(x, umask)
         rev_qmask = reverse_seq(qmask, umask)
-        h_b = run_cell("marn_cell_b", rev_x, rev_qmask)
+        xf_l, xf_a = encode("marn_cell_f", x)
+        xb_l, xb_a = encode("marn_cell_b", rev_x)
+        h_f, h_b = _fused_shared_lstm(
+            MARNCellSharedLSTM(True, False, name="marn_cell_f"),
+            MARNCellSharedLSTM(True, False, name="marn_cell_b"),
+            (xf_l, xf_a, qmask), (xb_l, xb_a, rev_qmask),
+            use_speaker_term=True, emit_q=False, deterministic=deterministic)
+        h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
         h_b = Dropout(0.5, name="dropout_rec_b")(
             reverse_seq(h_b, umask), deterministic)
         h = jnp.concatenate([h_f, h_b], axis=-1)
         _ = TorchLinear(32, name="linear")(jnp.zeros((1, h.shape[-1])))
         logp = _logp_head(self, h, self.n_classes, deterministic=deterministic)
         return (logp,)
+
+
+def _shared_lstm_step(consts, carry, xs, use_speaker_term):
+    """Pure cf/azs recurrence step (vmappable over the direction axis)."""
+    K_l, b_l, K_a, b_a, sWih, sbih, sWhh, sbhh, wq, wk = consts
+    h_l, c_l, h_a, c_a, h_s, c_s, z, q = carry
+    xlp, xap, qm = xs
+
+    q0_sel = select_parties(q, qm)
+    xs_proj = jnp.matmul(q0_sel, sWih) + sbih
+    h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
+    q_affine = h_s
+    q = _broadcast_scatter(q0_sel, q_affine, qm)
+
+    if use_speaker_term:
+        state_l = jnp.concatenate([h_l, z, q_affine], axis=-1)
+        state_a = jnp.concatenate([h_a, z, q_affine], axis=-1)
+    else:
+        state_l = jnp.concatenate([h_l, z], axis=-1)
+        state_a = jnp.concatenate([h_a, z], axis=-1)
+    c_l, h_l = lsthm_gates(xlp + jnp.matmul(state_l, K_l) + b_l, c_l)
+    c_a, h_a = lsthm_gates(xap + jnp.matmul(state_a, K_a) + b_a, c_a)
+
+    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, True, None)
+    return (h_l, c_l, h_a, c_a, h_s, c_s, z, q), (h_l, h_a, z, q_affine)
+
+
+def _fused_shared_lstm(cell_f, cell_b, inputs_f, inputs_b, use_speaker_term,
+                       emit_q, deterministic):
+    """Run both cf/azs directions as one scan with a direction-vmapped step.
+    inputs_*: (x_l, x_a, qmask) per direction."""
+    import functools
+
+    seqs_f, consts_f = cell_f(*inputs_f, deterministic, mode="gather")
+    seqs_b, consts_b = cell_b(*inputs_b, deterministic, mode="gather")
+    seqs = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
+    consts = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
+
+    B = inputs_f[0].shape[1]
+    P = inputs_f[2].shape[2]
+    H = consts_f[0].shape[1] // 4
+    z2 = lambda *s: jnp.zeros((2,) + s, inputs_f[0].dtype)
+    init = tuple(z2(B, H) for _ in range(7)) + (z2(B, P, H),)
+
+    fn = functools.partial(_shared_lstm_step,
+                           use_speaker_term=use_speaker_term)
+
+    def step(carry, xs):
+        return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
+
+    _, (h_l, h_a, z, q_affine) = jax.lax.scan(step, init, seqs)
+    if emit_q:
+        ys = jnp.concatenate([h_l, h_a, z, q_affine], axis=-1)
+    else:
+        ys = jnp.concatenate([h_l, h_a, z], axis=-1)
+    return ys[:, 0], ys[:, 1]  # h_f, h_b(reversed-time)
 
 
 # =========================================================================
