@@ -1,0 +1,86 @@
+"""Per-model eval-throughput benchmark across the zoo.
+
+Not run by the driver (bench.py is the canonical single-line benchmark);
+this tool profiles any subset of the registry at the IEMOCAP eval shape.
+
+Usage:
+    python bench_zoo.py [--models MARN1_onlysp DialogueRNN ...] [--iters 20]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from bench import iemocap_eval_batch
+
+
+def bench_model(name, batch, n_utts, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from ser_tpu.models.registry import get_model_spec
+
+    spec = get_model_spec(name)
+    model = spec.build(6, "IEMOCAP")
+    dbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "vid"}
+    args = spec.make_inputs(dbatch)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, *args,
+                        deterministic=True)["params"]
+
+    def loop(p, x, k):
+        def body(i, acc):
+            out = model.apply({"params": p}, x + 1e-30 * acc, *args[1:],
+                              deterministic=True)
+            return jnp.sum(spec.extract_logp(out))
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    lj = jax.jit(loop, static_argnums=2)
+    t0 = time.perf_counter()
+    float(lj(params, args[0], 1))
+    compile_s = time.perf_counter() - t0
+
+    tl, ts = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(lj(params, args[0], iters + 1))
+        tl.append(time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(lj(params, args[0], 1))
+        ts.append(time.perf_counter() - t0)
+    sec = max((min(tl) - min(ts)) / iters, 1e-9)
+    return {
+        "ms_per_pass": round(sec * 1e3, 3),
+        "utterances_per_sec": round(n_utts / sec, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    from ser_tpu.models.registry import available_models
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--models", nargs="*", default=None,
+                   help="subset (default: all registered models)")
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    batch, n_utts = iemocap_eval_batch()
+    results = {}
+    for name in (args.models or available_models()):
+        try:
+            results[name] = bench_model(name, batch, n_utts, args.iters)
+        except Exception as e:  # keep going; report the failure
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(json.dumps({name: results[name]}), flush=True)
+
+    print(json.dumps({"all": results}, indent=2))
+
+
+if __name__ == "__main__":
+    main()
