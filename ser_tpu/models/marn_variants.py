@@ -82,7 +82,8 @@ class MARNCellSP(nn.Module):
     dropout_rate: float = 0.5
 
     @nn.compact
-    def __call__(self, x_l, x_a, qmask, deterministic: bool = True):
+    def __call__(self, x_l, x_a, qmask, deterministic: bool = True,
+                 mode: str = "run"):
         L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
         H = self.dh
 
@@ -117,6 +118,10 @@ class MARNCellSP(nn.Module):
         b_a = bUa + bVa
         K_q = jnp.concatenate([Wq, Uq, Vq], axis=0)
         b_q = bWq + bUq + bVq
+
+        if mode == "gather":
+            return ((xl_proj, xa_proj, qmask),
+                    (K_l, b_l, K_a, b_a, K_q, b_q, wq, wk))
 
         keys = _dropout_keys(self, deterministic, L, 4)
 
@@ -178,13 +183,18 @@ class MARN1SP(nn.Module):
         x_l = jnp.swapaxes(x_l, 0, 1)
         x_a = jnp.swapaxes(x_a, 0, 1)
 
-        h_f = MARNCellSP(name="marn_cell_f")(x_l, x_a, qmask, deterministic)
-        h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
+        import functools
+
         rev_x_l = reverse_seq(x_l, umask)
         rev_x_a = reverse_seq(x_a, umask)
         rev_qmask = reverse_seq(qmask, umask)
-        h_b = MARNCellSP(name="marn_cell_b")(rev_x_l, rev_x_a, rev_qmask,
-                                             deterministic)
+        h_f, h_b = _fused_directions(
+            MARNCellSP(name="marn_cell_f"), MARNCellSP(name="marn_cell_b"),
+            (x_l, x_a, qmask), (rev_x_l, rev_x_a, rev_qmask),
+            functools.partial(_sp_step, dropout_rate=0.5),
+            n_state=7, deterministic=deterministic,
+            make_rng=lambda: self.make_rng("dropout"))
+        h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
         h_b = reverse_seq(h_b, umask)
         h_b = Dropout(0.5, name="dropout_rec_b")(h_b, deterministic)
         h = jnp.concatenate([h_f, h_b], axis=-1)
@@ -197,6 +207,74 @@ class MARN1SP(nn.Module):
         logp = _logp_head(self, feats, self.n_classes,
                           deterministic=deterministic)
         return logp, x_l, x_a
+
+
+def _sp_step(consts, carry, xs, dropout_rate, training):
+    """Pure sp recurrence step (vmappable over the direction axis)."""
+    K_l, b_l, K_a, b_a, K_q, b_q, wq, wk = consts
+    h_l, c_l, h_a, c_a, h_q, c_q, z, q = carry
+    if training:
+        xlp, xap, qm, key = xs
+        ks = jax.random.split(key, 4)
+        det = False
+    else:
+        xlp, xap, qm = xs
+        ks = [None] * 4
+        det = True
+
+    q0_sel = select_parties(q, qm)
+    sums_q = jnp.matmul(jnp.concatenate([q0_sel, h_q, z], -1), K_q) + b_q
+    c_q, h_q = lsthm_gates(sums_q, c_q)
+    h_q = dropout(h_q, dropout_rate, det, ks[0])
+    q = _broadcast_scatter(q0_sel, h_q, qm)
+
+    sums_l = xlp + jnp.matmul(jnp.concatenate([h_l, z], -1), K_l) + b_l
+    c_l, h_l = lsthm_gates(sums_l, c_l)
+    h_l = dropout(h_l, dropout_rate, det, ks[1])
+    sums_a = xap + jnp.matmul(jnp.concatenate([h_a, z], -1), K_a) + b_a
+    c_a, h_a = lsthm_gates(sums_a, c_a)
+    h_a = dropout(h_a, dropout_rate, det, ks[2])
+
+    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, det, ks[3])
+    y = jnp.concatenate([h_l, h_a, z, h_q], axis=-1)
+    return (h_l, c_l, h_a, c_a, h_q, c_q, z, q), y
+
+
+def _fused_directions(cell_f, cell_b, inputs_f, inputs_b, step_fn,
+                      n_state, deterministic, make_rng=None, qmask_idx=2):
+    """Generic fwd+bwd fusion: gather both cells, stack on a direction axis,
+    run one scan with the step vmapped over it. Returns (ys_f, ys_b)."""
+    import functools
+
+    seqs_f, consts_f = cell_f(*inputs_f, deterministic, mode="gather")
+    seqs_b, consts_b = cell_b(*inputs_b, deterministic, mode="gather")
+    seqs = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
+    consts = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
+
+    L = inputs_f[0].shape[0]
+    B = inputs_f[0].shape[1]
+    P = inputs_f[qmask_idx].shape[2]
+    H = consts_f[0].shape[1] // 4
+    z2 = lambda *s: jnp.zeros((2,) + s, inputs_f[0].dtype)
+    init = tuple(z2(B, H) for _ in range(n_state)) + (z2(B, P, H),)
+
+    training = not deterministic
+    fn = functools.partial(step_fn, training=training)
+    if training:
+        keys = jax.random.split(make_rng(), (L, 2))
+        seqs = seqs + (keys,)
+
+    def step(carry, xs):
+        return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
+
+    if training:
+        step = jax.checkpoint(step)
+    _, ys = jax.lax.scan(step, init, seqs)
+    if isinstance(ys, tuple):
+        return tuple((y[:, 0], y[:, 1]) for y in ys)
+    return ys[:, 0], ys[:, 1]
 
 
 # =========================================================================
@@ -652,7 +730,8 @@ class MARNCellSPS(nn.Module):
     dropout_rate: float = 0.5
 
     @nn.compact
-    def __call__(self, x_l, x_a, qmask, deterministic: bool = True):
+    def __call__(self, x_l, x_a, qmask, deterministic: bool = True,
+                 mode: str = "run"):
         L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
         H = self.dh
 
@@ -683,6 +762,11 @@ class MARNCellSPS(nn.Module):
         b_l = bUl + bVl + bSl
         K_a = jnp.concatenate([Ua, Va, Sa], axis=0)
         b_a = bUa + bVa + bSa
+
+        if mode == "gather":
+            return ((xl_proj, xa_proj, qmask),
+                    (K_l, b_l, K_a, b_a, q0Wih, q0bih, q0Whh, q0bhh,
+                     q1Wih, q1bih, q1Whh, q1bhh, wq, wk))
 
         keys = _dropout_keys(self, deterministic, L, 5)
         slots = jnp.arange(B)
@@ -754,6 +838,64 @@ class MARNCellSPS(nn.Module):
         return h
 
 
+def _sps_step(consts, carry, xs, dropout_rate, training):
+    """Pure sps recurrence step incl. per-party compaction (vmappable)."""
+    (K_l, b_l, K_a, b_a, q0Wih, q0bih, q0Whh, q0bhh,
+     q1Wih, q1bih, q1Whh, q1bhh, wq, wk) = consts
+    h_l, c_l, h_a, c_a, h_q0, c_q0, h_q1, c_q1, z, q = carry
+    if training:
+        xlp, xap, qm, key = xs
+        ks = jax.random.split(key, 5)
+        det = False
+    else:
+        xlp, xap, qm = xs
+        ks = [None] * 5
+        det = True
+
+    B = q.shape[0]
+    slots = jnp.arange(B)
+    idx = jnp.argmax(qm, axis=1)
+
+    def compact(party):
+        is_p = (idx == party)
+        n_p = jnp.sum(is_p.astype(jnp.int32))
+        order = jnp.argsort(jnp.where(is_p, 0, 1), stable=True)
+        sel = q[order, party]
+        valid = (slots < n_p)[:, None].astype(q.dtype)
+        return sel * valid, n_p
+
+    q0_sel, n0 = compact(0)
+    q1_sel, n1 = compact(1)
+
+    nh0, nc0 = lstm_step(jnp.matmul(q0_sel, q0Wih) + q0bih,
+                         h_q0, c_q0, q0Whh, q0bhh)
+    nh0 = dropout(nh0, dropout_rate, det, ks[0])
+    h_q0 = jnp.where(n0 > 0, nh0, h_q0)
+    c_q0 = jnp.where(n0 > 0, nc0, c_q0)
+    nh1, nc1 = lstm_step(jnp.matmul(q1_sel, q1Wih) + q1bih,
+                         h_q1, c_q1, q1Whh, q1bhh)
+    nh1 = dropout(nh1, dropout_rate, det, ks[1])
+    h_q1 = jnp.where(n1 > 0, nh1, h_q1)
+    c_q1 = jnp.where(n1 > 0, nc1, c_q1)
+
+    take0 = (slots < n0)[:, None]
+    gather1 = jnp.clip(slots - n0, 0, B - 1)
+    h_q = jnp.where(take0, h_q0, h_q1[gather1])
+    h_0 = jnp.where(take0, q0_sel, q1_sel[gather1])
+    q = _broadcast_scatter(h_0, h_q, qm)
+
+    sums_l = xlp + jnp.matmul(jnp.concatenate([h_l, z, h_q], -1), K_l) + b_l
+    c_l, h_l = lsthm_gates(sums_l, c_l)
+    h_l = dropout(h_l, dropout_rate, det, ks[2])
+    sums_a = xap + jnp.matmul(jnp.concatenate([h_a, z, h_q], -1), K_a) + b_a
+    c_a, h_a = lsthm_gates(sums_a, c_a)
+    h_a = dropout(h_a, dropout_rate, det, ks[3])
+
+    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, det, ks[4])
+    y = jnp.concatenate([h_l, h_a, z, h_q], axis=-1)
+    return (h_l, c_l, h_a, c_a, h_q0, c_q0, h_q1, c_q1, z, q), y
+
+
 class MARN1SPS(nn.Module):
     """MARN1_sps top level (ref ``lsthm_sps.py:298-409``): residual-stacked
     encoders enc(x + enc(x)), learnable scalar fusion + re-attention, and a
@@ -779,12 +921,17 @@ class MARN1SPS(nn.Module):
         x_l = jnp.swapaxes(x_l, 0, 1)
         x_a = jnp.swapaxes(x_a, 0, 1)
 
-        h_f = Dropout(0.5, name="dropout_rec")(
-            MARNCellSPS(name="marn_cell_f")(x_l, x_a, qmask, deterministic),
-            deterministic)
-        h_b = MARNCellSPS(name="marn_cell_b")(
-            reverse_seq(x_l, umask), reverse_seq(x_a, umask),
-            reverse_seq(qmask, umask), deterministic)
+        import functools
+
+        h_f, h_b = _fused_directions(
+            MARNCellSPS(name="marn_cell_f"), MARNCellSPS(name="marn_cell_b"),
+            (x_l, x_a, qmask),
+            (reverse_seq(x_l, umask), reverse_seq(x_a, umask),
+             reverse_seq(qmask, umask)),
+            functools.partial(_sps_step, dropout_rate=0.5),
+            n_state=9, deterministic=deterministic,
+            make_rng=lambda: self.make_rng("dropout"))
+        h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
         h_b = Dropout(0.5, name="dropout_rec_b")(
             reverse_seq(h_b, umask), deterministic)
         h = jnp.concatenate([h_f, h_b], axis=-1)
@@ -827,7 +974,8 @@ class MARNCellNSPS(nn.Module):
     dropout_rate: float = 0.5
 
     @nn.compact
-    def __call__(self, x, x_l, x_a, qmask, deterministic: bool = True):
+    def __call__(self, x, x_l, x_a, qmask, deterministic: bool = True,
+                 mode: str = "run"):
         L, B, P = x_l.shape[0], x_l.shape[1], qmask.shape[2]
         H = self.dh
 
@@ -857,6 +1005,10 @@ class MARNCellNSPS(nn.Module):
         b_l = bUl + bVl + bSl
         K_a = jnp.concatenate([Ua, Va, Sa], axis=0)
         b_a = bUa + bVa + bSa
+
+        if mode == "gather":
+            return ((xl_proj, xa_proj, gru_x, qmask),
+                    (K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk))
 
         keys = _dropout_keys(self, deterministic, L, 4)
 
@@ -900,6 +1052,42 @@ class MARNCellNSPS(nn.Module):
         return hl, ha, hsp, hli
 
 
+def _nsps_step(consts, carry, xs, dropout_rate, training):
+    """Pure nsps recurrence step (vmappable over the direction axis)."""
+    K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk = consts
+    h_l, c_l, h_a, c_a, z, q = carry
+    if training:
+        xlp, xap, gxp, qm, key = xs
+        ks = jax.random.split(key, 4)
+        det = False
+    else:
+        xlp, xap, gxp, qm = xs
+        ks = [None] * 4
+        det = True
+
+    P = q.shape[1]
+    idx = jnp.argmax(qm, axis=1)
+    onehot = jax.nn.one_hot(idx, P, dtype=q.dtype)
+    qs_0 = jnp.einsum("bp,bpd->bd", onehot, q)
+    other = jax.nn.one_hot(1 - idx, P, dtype=q.dtype)
+    ql_0 = jnp.einsum("bp,bpd->bd", other, q)
+
+    h_s = gru_step(gxp, qs_0, gWhh, gbhh)
+    h_s = dropout(h_s, dropout_rate, det, ks[0])
+    m = qm[:, :, None]
+    q = ql_0[:, None, :] * (1.0 - m) + h_s[:, None, :] * m
+
+    sums_l = xlp + jnp.matmul(jnp.concatenate([h_l, z, h_s], -1), K_l) + b_l
+    c_l, h_l = lsthm_gates(sums_l, c_l)
+    h_l = dropout(h_l, dropout_rate, det, ks[1])
+    sums_a = xap + jnp.matmul(jnp.concatenate([h_a, z, h_s], -1), K_a) + b_a
+    c_a, h_a = lsthm_gates(sums_a, c_a)
+    h_a = dropout(h_a, dropout_rate, det, ks[2])
+
+    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, det, ks[3])
+    return (h_l, c_l, h_a, c_a, z, q), (h_l, h_a, h_s, ql_0)
+
+
 class MARN1NSPS(nn.Module):
     """MARN1_nsps / MARN1_no_en top level (ref ``lsthm_nsps.py:242-375``).
 
@@ -932,20 +1120,22 @@ class MARN1NSPS(nn.Module):
         x_l = jnp.swapaxes(x_l, 0, 1)
         x_a = jnp.swapaxes(x_a, 0, 1)
 
-        cell_f = MARNCellNSPS(name="marn_cell_f")
-        cell_b = MARNCellNSPS(name="marn_cell_b")
+        import functools
+
         drop = Dropout(0.5, name="dropout_rec")
-
-        hf_l, hf_a, hf_sp, _ = cell_f(xcat, x_l, x_a, qmask, deterministic)
-        hf_l = drop(hf_l, deterministic)
-        hf_a = drop(hf_a, deterministic)
-
         rev_x = reverse_seq(xcat, umask)
         rev_x_l = reverse_seq(x_l, umask)
         rev_x_a = reverse_seq(x_a, umask)
         rev_qmask = reverse_seq(qmask, umask)
-        hb_l, hb_a, hb_sp, _ = cell_b(rev_x, rev_x_l, rev_x_a, rev_qmask,
-                                      deterministic)
+        (hf_l, hb_l), (hf_a, hb_a), _, _ = _fused_directions(
+            MARNCellNSPS(name="marn_cell_f"),
+            MARNCellNSPS(name="marn_cell_b"),
+            (xcat, x_l, x_a, qmask), (rev_x, rev_x_l, rev_x_a, rev_qmask),
+            functools.partial(_nsps_step, dropout_rate=0.5),
+            n_state=5, deterministic=deterministic,
+            make_rng=lambda: self.make_rng("dropout"), qmask_idx=3)
+        hf_l = drop(hf_l, deterministic)
+        hf_a = drop(hf_a, deterministic)
         hb_l = drop(reverse_seq(hb_l, umask), deterministic)
         hb_a = drop(reverse_seq(hb_a, umask), deterministic)
 
