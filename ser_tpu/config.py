@@ -11,6 +11,31 @@ from __future__ import annotations
 
 from dataclasses import asdict, dataclass
 
+# ---------------------------------------------------------------------------
+# Scan rematerialization policy for the training-mode recurrence step.
+#
+# With the fused rank-1 attention (ops/attention.py: no [B, H, H] tensor ever
+# reaches HBM, and the attention op carries its own inner jax.checkpoint),
+# the remat mode is a small effect; "full" is both fastest and the tightest
+# memory bound (residuals are O(carry) per step).
+# Measured (scripts/profile_train.py, v5e-1, MARN1_onlysp @ L=110 B=80):
+#   full 22.7 ms/step | dots 23.3 | none 23.6
+# (pre-fusion baseline was full 50.9 / dots 51.1 / none 40.4).
+# ---------------------------------------------------------------------------
+SCAN_REMAT = "full"  # "full" | "dots" | "none"
+
+
+def scan_remat(step_fn):
+    """Apply the configured remat policy to a scan step function."""
+    import jax
+
+    if SCAN_REMAT == "full":
+        return jax.checkpoint(step_fn)
+    if SCAN_REMAT == "dots":
+        return jax.checkpoint(
+            step_fn, policy=jax.checkpoint_policies.dots_saveable)
+    return step_fn
+
 
 @dataclass
 class ExperimentConfig:

@@ -186,13 +186,13 @@ class MARNCellOnlySP(nn.Module):
             jnp.zeros((B, P, Hs), x_l.dtype),
         )
         if training:
-            # Rematerialize the step in the backward pass: bounds residual
-            # memory to O(carry) per step instead of the [B, H, H] attention
-            # intermediates (~6 GB per direction at IEMOCAP train shapes).
-            # Measured neutral on step time at batch 80 (XLA's scheduling
-            # already hides the traffic there); kept for memory headroom at
-            # larger serving/training batches.
-            step = jax.checkpoint(step)
+            # Rematerialize per the configured policy (see config.SCAN_REMAT):
+            # bounds residual memory below the [B, H, H] attention
+            # intermediates (~6 GB per direction at IEMOCAP train shapes)
+            # while keeping matmul outputs saved.
+            from ser_tpu import config
+
+            step = config.scan_remat(step)
         _, h = jax.lax.scan(step, init_carry, (xl_proj, xa_proj, gru_x, qmask, keys))
         return h  # [L, B, Hl+Ha+Hl+Hs]
 
@@ -320,7 +320,9 @@ class MARN1OnlySP(nn.Module):
                     return jax.vmap(_train_step_dir, in_axes=(0, 0, 0))(
                         consts, carry, xs)
 
-                step = jax.checkpoint(raw_step)
+                from ser_tpu import config
+
+                step = config.scan_remat(raw_step)
                 seqs = seqs + (keys,)
 
             _, ys = jax.lax.scan(step, init, seqs)  # [L, 2, B, 512]

@@ -15,9 +15,19 @@ so we compute one [B] dot product, one outer product, and a fused
 softmax-weighted reduction — O(B*D^2), ~2*D fewer FLOPs, no batched matmuls
 inside the scan. ``rank1_cross_attention_naive`` keeps the literal formulation
 as the oracle for tests.
+
+The [B, D, D] logits/softmax/dropout-mask intermediates are never written to
+HBM: the softmax max is exact in O(B*D) via the rank-1 structure
+(``max_k a*wk[k] = a>0 ? a*max(wk) : a*min(wk)``), so exp, the dropout mask,
+and both reductions (weighted sum and normalizer) fuse into one VPU pass over
+k. The whole op is ``jax.checkpoint``-ed, so the backward scan recomputes it
+fused instead of loading saved [B, D, D] residuals — measured on v5e-1 this
+is what makes the recurrence compute-bound instead of HBM-bound.
 """
 
 from __future__ import annotations
+
+import functools
 
 import flax.linen as nn
 import jax
@@ -25,6 +35,37 @@ import jax.numpy as jnp
 
 from ser_tpu.ops import init as tinit
 from ser_tpu.ops.layers import Dropout, TorchLayerNorm, dropout
+
+
+def _rank1_fused_impl(x1, x2, wq, wk, rng, attn_dropout):
+    D = x1.shape[-1]
+    scale = 1.0 / (D ** 0.5)
+    s = jnp.matmul(x2, wq) * scale  # [B] = (Wq . x2[b]) / sqrt(D)
+    alpha = x1 * s[:, None]  # [B, D]
+    # Exact row-max of the rank-1 logits alpha[b,i] * wk[k] in O(D): it is
+    # alpha * max(wk) when alpha > 0 else alpha * min(wk) — the identical
+    # float product jnp.max over k would select. stop_gradient matches
+    # jax.nn.softmax's treatment of the subtracted max.
+    m = jax.lax.stop_gradient(
+        jnp.where(alpha > 0, alpha * jnp.max(wk), alpha * jnp.min(wk)))
+    e = jnp.exp(alpha[:, :, None] * wk[None, None, :] - m[:, :, None])
+    den = jnp.sum(e, axis=-1)  # softmax normalizer: pre-dropout
+    if rng is not None:
+        # The [B, D, D] mask is the recurrence's single biggest RNG draw;
+        # software threefry costs ~58 us/step on v5e where the hardware
+        # RngBitGenerator (unsafe_rbg) is ~free. The step key itself still
+        # comes from a threefry split, so streams stay independent; only the
+        # per-key bit generation changes backend.
+        keep = 1.0 - attn_dropout
+        rbg = jax.random.wrap_key_data(jnp.tile(rng, 2), impl="unsafe_rbg")
+        mask = jax.random.bernoulli(rbg, p=keep, shape=e.shape)
+        e = jnp.where(mask, e / keep, 0.0)
+    num = jnp.sum(e * x2[:, None, :], axis=-1)
+    return num / den
+
+
+_rank1_fused = functools.partial(
+    jax.checkpoint(_rank1_fused_impl, static_argnums=(5,)))
 
 
 def rank1_cross_attention(
@@ -39,15 +80,9 @@ def rank1_cross_attention(
     Returns:
       [B, D] fused state z.
     """
-    D = x1.shape[-1]
-    scale = 1.0 / (D ** 0.5)
-    s = jnp.matmul(x2, wq) * scale  # [B] = (Wq . x2[b]) / sqrt(D)
-    alpha = x1 * s[:, None]  # [B, D]
-    logits = alpha[:, :, None] * wk[None, None, :]  # [B, D, D]
-    attn = jax.nn.softmax(logits, axis=-1)
-    if not deterministic and attn_dropout > 0.0:
-        attn = dropout(attn, attn_dropout, False, rng)
-    return jnp.einsum("bik,bk->bi", attn, x2)
+    if deterministic or attn_dropout == 0.0:
+        rng = None
+    return _rank1_fused(x1, x2, wq, wk, rng, float(attn_dropout))
 
 
 def rank1_cross_attention_naive(x1, x2, wq, wk):
