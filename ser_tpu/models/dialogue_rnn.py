@@ -38,7 +38,8 @@ class DialogueRNNScan(nn.Module):
     context_attention: str = "general"  # 'simple' | 'general' | 'general2'
 
     @nn.compact
-    def __call__(self, U, qmask, deterministic: bool = True):
+    def __call__(self, U, qmask, deterministic: bool = True,
+                 mode: str = "run"):
         L, B, P = U.shape[0], U.shape[1], qmask.shape[2]
         D_m, D_g, D_p, D_e = self.D_m, self.D_g, self.D_p, self.D_e
 
@@ -48,107 +49,130 @@ class DialogueRNNScan(nn.Module):
         pWhh, pbhh = declare_rnn_linear(self, "p_cell_hh", D_p, 3 * D_p, D_p)
         eWih, ebih = declare_rnn_linear(self, "e_cell_ih", D_p, 3 * D_e, D_e)
         eWhh, ebhh = declare_rnn_linear(self, "e_cell_hh", D_e, 3 * D_e, D_e)
+        consts = {"gWih_q": gWih[D_m:], "gWhh": gWhh, "gbhh": gbhh,
+                  "pWih_c": pWih[D_m:], "pWhh": pWhh, "pbhh": pbhh,
+                  "eWih": eWih, "ebih": ebih, "eWhh": eWhh, "ebhh": ebhh}
+        # hoisted x-side projections: one MXU matmul over all steps each
+        seqs = {"u": U, "qm": qmask,
+                "g_x": jnp.matmul(U, gWih[:D_m]) + gbih,
+                "p_x": jnp.matmul(U, pWih[:D_m]) + pbih}
         if self.listener_state:
             lWih, lbih = declare_rnn_linear(
                 self, "l_cell_ih", D_m + D_p, 3 * D_p, D_p)
             lWhh, lbhh = declare_rnn_linear(
                 self, "l_cell_hh", D_p, 3 * D_p, D_p)
+            consts.update({"lWih_s": lWih[D_m:], "lWhh": lWhh, "lbhh": lbhh})
+            seqs["l_x"] = jnp.matmul(U, lWih[:D_m]) + lbih
         if self.context_attention == "simple":
             # SimpleAttention: scalar Linear(D_g -> 1, no bias)
             attS, _ = declare_linear(self, "attention_scalar", D_g, 1,
                                      use_bias=False)
-            attT = attB = None
+            consts["attS"] = attS
         elif self.context_attention == "general":
             # MatchingAttention 'general': Linear(D_m -> D_g, no bias)
             attT, _ = declare_linear(self, "attention_transform", D_m, D_g,
                                      use_bias=False)
-            attS = attB = None
+            seqs["att_x"] = jnp.matmul(U, attT)
         elif self.context_attention == "general2":
             attT, attB = declare_linear(self, "attention_transform", D_m, D_g,
                                         use_bias=True)
-            attS = None
+            seqs["att_x"] = jnp.matmul(U, attT) + attB
         else:
             raise ValueError(
                 f"unknown context_attention: {self.context_attention}")
 
+        if mode == "gather":
+            # expose hoisted projections + kernels so BiModel can run both
+            # directions as one direction-vmapped scan.
+            return seqs, consts
+
         training = not deterministic
+        import functools
+
+        fn = functools.partial(
+            _drnn_step, listener_state=self.listener_state,
+            context_attention=self.context_attention,
+            dropout_rate=self.dropout_rate, training=training)
         if training:
-            keys = jax.random.split(self.make_rng("dropout"), L)
+            seqs["key"] = jax.random.split(self.make_rng("dropout"), L)
+
+        init = _drnn_init(L, B, P, D_g, D_p, D_e, U.dtype)
+        if training:
+            from ser_tpu import config
+
+            step = config.scan_remat(fn)
         else:
-            keys = jnp.zeros((L, 1), jnp.float32)
-
-        steps = jnp.arange(L)
-
-        def step(carry, xs):
-            q, e_prev, g_prev, g_hist, t = carry
-            u, qm, key = xs
-            ks = None if deterministic else jax.random.split(key, 4)
-
-            q0_sel = select_parties(q, qm)
-            g_ = gru_step(
-                jnp.matmul(jnp.concatenate([u, q0_sel], -1), gWih) + gbih,
-                g_prev, gWhh, gbhh)
-            g_ = dropout(g_, self.dropout_rate, deterministic,
-                         None if deterministic else ks[0])
-
-            # attention over g_hist prefix (empty prefix -> zeros, alpha None)
-            if self.context_attention == "simple":
-                scores = jnp.einsum("jbd,dk->bj",
-                                    g_hist, attS)  # scalar per step
-            elif self.context_attention == "general2":
-                scores = jnp.einsum(
-                    "bd,jbd->bj", jnp.matmul(u, attT) + attB, g_hist)
-            else:
-                scores = jnp.einsum("bd,jbd->bj", jnp.matmul(u, attT), g_hist)
-            prefix = (steps[None, :] < t)
-            alpha = jax.nn.softmax(jnp.where(prefix, scores, -1e9), axis=1)
-            c_ = jnp.einsum("bj,jbd->bd", alpha, g_hist)
-            c_ = jnp.where(t > 0, c_, 0.0)
-            alpha = jnp.where(t > 0, alpha, 0.0)
-
-            g_hist = jax.lax.dynamic_update_slice_in_dim(
-                g_hist, g_[None], t, axis=0)
-
-            # party GRU on B*P rows with identical input per party
-            U_c = jnp.concatenate([u, c_], axis=1)  # [B, D_m+D_g]
-            U_c_p = jnp.broadcast_to(U_c[:, None, :], (B, P, D_m + D_g))
-            qs_ = gru_step(
-                (jnp.matmul(U_c_p, pWih) + pbih).reshape(B * P, 3 * D_p),
-                q.reshape(B * P, D_p), pWhh, pbhh).reshape(B, P, D_p)
-            qs_ = dropout(qs_, self.dropout_rate, deterministic,
-                          None if deterministic else ks[1])
-
-            if self.listener_state:
-                ss_ = select_parties(qs_, qm)  # speaker's new state
-                U_ss = jnp.concatenate([u, ss_], axis=1)
-                U_ss_p = jnp.broadcast_to(U_ss[:, None, :], (B, P, D_m + D_p))
-                ql_ = gru_step(
-                    (jnp.matmul(U_ss_p, lWih) + lbih).reshape(B * P, 3 * D_p),
-                    q.reshape(B * P, D_p), lWhh, lbhh).reshape(B, P, D_p)
-                ql_ = dropout(ql_, self.dropout_rate, deterministic,
-                              None if deterministic else ks[2])
-            else:
-                ql_ = q
-
-            m = qm[:, :, None]
-            q_ = ql_ * (1.0 - m) + qs_ * m
-            e_ = gru_step(
-                jnp.matmul(select_parties(q_, qm), eWih) + ebih,
-                e_prev, eWhh, ebhh)
-            e_ = dropout(e_, self.dropout_rate, deterministic,
-                         None if deterministic else ks[3])
-
-            return (q_, e_, g_, g_hist, t + 1), (e_, alpha)
-
-        init = (
-            jnp.zeros((B, P, D_p), U.dtype),
-            jnp.zeros((B, D_e), U.dtype),
-            jnp.zeros((B, D_g), U.dtype),
-            jnp.zeros((L, B, D_g), U.dtype),
-            jnp.asarray(0, jnp.int32),
-        )
-        _, (emotions, alphas) = jax.lax.scan(step, init, (U, qmask, keys))
+            step = fn
+        _, (emotions, alphas) = jax.lax.scan(
+            lambda c, xs: step(consts, c, xs), init, seqs)
         return emotions, alphas  # [L, B, D_e], [L, B, L]
+
+
+def _drnn_init(L, B, P, D_g, D_p, D_e, dtype):
+    return (
+        jnp.zeros((B, P, D_p), dtype),
+        jnp.zeros((B, D_e), dtype),
+        jnp.zeros((B, D_g), dtype),
+        jnp.zeros((L, B, D_g), dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+
+
+def _drnn_step(consts, carry, xs, listener_state, context_attention,
+               dropout_rate, training):
+    """Pure DialogueRNN step (ref ``DialogueRNN.py:80-157``); vmappable over
+    the direction axis. x-side GRU projections arrive hoisted via ``xs``."""
+    q, e_prev, g_prev, g_hist, t = carry
+    u, qm = xs["u"], xs["qm"]
+    L = g_hist.shape[0]
+    B, P = qm.shape[0], qm.shape[1]
+    D_p = q.shape[-1]
+    deterministic = not training
+    ks = jax.random.split(xs["key"], 4) if training else [None] * 4
+
+    q0_sel = select_parties(q, qm)
+    g_ = gru_step(xs["g_x"] + jnp.matmul(q0_sel, consts["gWih_q"]),
+                  g_prev, consts["gWhh"], consts["gbhh"])
+    g_ = dropout(g_, dropout_rate, deterministic, ks[0])
+
+    # attention over g_hist prefix (empty prefix -> zeros, alpha None)
+    if context_attention == "simple":
+        scores = jnp.einsum("jbd,dk->bj", g_hist, consts["attS"])
+    else:  # 'general' / 'general2' (bias folded into hoisted att_x)
+        scores = jnp.einsum("bd,jbd->bj", xs["att_x"], g_hist)
+    prefix = (jnp.arange(L)[None, :] < t)
+    alpha = jax.nn.softmax(jnp.where(prefix, scores, -1e9), axis=1)
+    c_ = jnp.einsum("bj,jbd->bd", alpha, g_hist)
+    c_ = jnp.where(t > 0, c_, 0.0)
+    alpha = jnp.where(t > 0, alpha, 0.0)
+
+    g_hist = jax.lax.dynamic_update_slice_in_dim(g_hist, g_[None], t, axis=0)
+
+    # party GRU on B*P rows with identical input per party
+    p_in = xs["p_x"] + jnp.matmul(c_, consts["pWih_c"])  # [B, 3*D_p]
+    p_in_p = jnp.broadcast_to(p_in[:, None, :], (B, P) + p_in.shape[1:])
+    qs_ = gru_step(p_in_p.reshape(B * P, -1), q.reshape(B * P, D_p),
+                   consts["pWhh"], consts["pbhh"]).reshape(B, P, D_p)
+    qs_ = dropout(qs_, dropout_rate, deterministic, ks[1])
+
+    if listener_state:
+        ss_ = select_parties(qs_, qm)  # speaker's new state
+        l_in = xs["l_x"] + jnp.matmul(ss_, consts["lWih_s"])
+        l_in_p = jnp.broadcast_to(l_in[:, None, :], (B, P) + l_in.shape[1:])
+        ql_ = gru_step(l_in_p.reshape(B * P, -1), q.reshape(B * P, D_p),
+                       consts["lWhh"], consts["lbhh"]).reshape(B, P, D_p)
+        ql_ = dropout(ql_, dropout_rate, deterministic, ks[2])
+    else:
+        ql_ = q
+
+    m = qm[:, :, None]
+    q_ = ql_ * (1.0 - m) + qs_ * m
+    e_ = gru_step(
+        jnp.matmul(select_parties(q_, qm), consts["eWih"]) + consts["ebih"],
+        e_prev, consts["eWhh"], consts["ebhh"])
+    e_ = dropout(e_, dropout_rate, deterministic, ks[3])
+
+    return (q_, e_, g_, g_hist, t + 1), (e_, alpha)
 
 
 def matching_attention_general2(M, x, mask, transform_kernel, transform_bias):
@@ -199,11 +223,44 @@ class BiModel(nn.Module):
         drop_rec = Dropout(self.dropout + 0.15, name="dropout_rec_mod")
         drop = Dropout(self.dropout, name="dropout_mod")
 
-        emotions_f, alpha_f = rnn_f(U, qmask, deterministic)
-        emotions_f = drop_rec(emotions_f, deterministic)
+        # Both directions as ONE scan with a direction-vmapped step (the
+        # directions share no state until the concat below).
+        import functools
+
         rev_U = reverse_seq(U, umask)
         rev_qmask = reverse_seq(qmask, umask)
-        emotions_b, alpha_b = rnn_r(rev_U, rev_qmask, deterministic)
+        seqs_f, consts_f = rnn_f(U, qmask, deterministic, mode="gather")
+        seqs_b, consts_b = rnn_r(rev_U, rev_qmask, deterministic,
+                                 mode="gather")
+        seqs = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
+        consts = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
+
+        L, B, P = U.shape[0], U.shape[1], qmask.shape[2]
+        training = not deterministic
+        if training:
+            seqs["key"] = jax.random.split(self.make_rng("dropout"), (L, 2))
+        fn = functools.partial(
+            _drnn_step, listener_state=self.listener_state,
+            context_attention=self.context_attention,
+            dropout_rate=self.dropout_rec, training=training)
+
+        def step(carry, xs):
+            return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
+
+        if training:
+            from ser_tpu import config
+
+            step = config.scan_remat(step)
+        init = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, x]),
+            _drnn_init(L, B, P, self.D_g, self.D_p, self.D_e, U.dtype))
+        _, (emotions2, alphas2) = jax.lax.scan(step, init, seqs)
+        emotions_f, emotions_b = emotions2[:, 0], emotions2[:, 1]
+        alpha_f, alpha_b = alphas2[:, 0], alphas2[:, 1]
+
+        emotions_f = drop_rec(emotions_f, deterministic)
         emotions_b = reverse_seq(emotions_b, umask)
         emotions_b = drop_rec(emotions_b, deterministic)
         emotions = jnp.concatenate([emotions_f, emotions_b], axis=-1)

@@ -270,7 +270,9 @@ def _fused_directions(cell_f, cell_b, inputs_f, inputs_b, step_fn,
         return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
 
     if training:
-        step = jax.checkpoint(step)
+        from ser_tpu import config
+
+        step = config.scan_remat(step)
     _, ys = jax.lax.scan(step, init, seqs)
     if isinstance(ys, tuple):
         return tuple((y[:, 0], y[:, 1]) for y in ys)
@@ -329,14 +331,17 @@ class MARNCellSharedLSTM(nn.Module):
 
         if mode == "gather":
             # expose hoisted projections + kernels so the caller can run
-            # both directions as one direction-vmapped scan (this cell has
-            # no in-cell dropout, so fusion covers train AND eval).
+            # both directions as one direction-vmapped scan (the only in-cell
+            # stochasticity is the CrossAttention dropout, whose keys the
+            # caller threads as scan inputs in train mode).
             return ((xl_proj, xa_proj, qmask),
                     (K_l, b_l, K_a, b_a, sWih, sbih, sWhh, sbhh, wq, wk))
 
+        keys = _dropout_keys(self, deterministic, L, 1)
+
         def step(carry, xs):
             h_l, c_l, h_a, c_a, h_s, c_s, z, q = carry
-            xlp, xap, qm = xs
+            xlp, xap, qm, key = xs
 
             q0_sel = select_parties(q, qm)
             xs_proj = jnp.matmul(q0_sel, sWih) + sbih
@@ -353,7 +358,9 @@ class MARNCellSharedLSTM(nn.Module):
             c_l, h_l = lsthm_gates(xlp + jnp.matmul(state_l, K_l) + b_l, c_l)
             c_a, h_a = lsthm_gates(xap + jnp.matmul(state_a, K_a) + b_a, c_a)
 
-            z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, True, None)
+            z = rank1_cross_attention(
+                c_l, c_a, wq, wk, 0.2, deterministic,
+                None if deterministic else key[0])
             if self.emit_q:
                 y = jnp.concatenate([h_l, h_a, z, q_affine], axis=-1)
             else:
@@ -362,19 +369,15 @@ class MARNCellSharedLSTM(nn.Module):
 
         z0 = jnp.zeros((B, H), x_l.dtype)
         init = (z0, z0, z0, z0, z0, z0, z0, jnp.zeros((B, P, H), x_l.dtype))
-        _, h = jax.lax.scan(step, init, (xl_proj, xa_proj, qmask))
+        _, h = jax.lax.scan(step, init, (xl_proj, xa_proj, qmask, keys))
         return h
 
 
 class MARN1CF(nn.Module):
     """MARN1_cf (ref ``lsthm_cf.py:206-290``): 3-term LSTHM, q_affine in the
-    output, one-way sequence attention in the head.
-
-    NOTE: the reference's per-step CrossAttention dropout is active in train
-    mode inside the cell; cf's cell has no nn.Dropout member, but its
-    CrossAttention does (p=0.2). We keep attention dropout OFF inside
-    cf/azs cells to match eval-time math exactly; train-mode stochasticity
-    differs only in that attention mask (documented deviation)."""
+    output, one-way sequence attention in the head. The per-step
+    CrossAttention's p=0.2 dropout (``lsthm_cf.py:57-71``) is active in train
+    mode, with keys threaded per direction through the fused scan."""
 
     n_classes: int = 6
     d_l: int = 100
@@ -398,7 +401,8 @@ class MARN1CF(nn.Module):
             (x_l, x_a, qmask),
             (reverse_seq(x_l, umask), reverse_seq(x_a, umask),
              reverse_seq(qmask, umask)),
-            use_speaker_term=False, emit_q=True, deterministic=deterministic)
+            use_speaker_term=False, emit_q=True, deterministic=deterministic,
+            make_rng=lambda: self.make_rng("dropout"))
         h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
         h_b = Dropout(0.5, name="dropout_rec_b")(
             reverse_seq(h_b, umask), deterministic)
@@ -447,7 +451,8 @@ class MARN1AZS(nn.Module):
             MARNCellSharedLSTM(True, False, name="marn_cell_f"),
             MARNCellSharedLSTM(True, False, name="marn_cell_b"),
             (xf_l, xf_a, qmask), (xb_l, xb_a, rev_qmask),
-            use_speaker_term=True, emit_q=False, deterministic=deterministic)
+            use_speaker_term=True, emit_q=False, deterministic=deterministic,
+            make_rng=lambda: self.make_rng("dropout"))
         h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
         h_b = Dropout(0.5, name="dropout_rec_b")(
             reverse_seq(h_b, umask), deterministic)
@@ -457,11 +462,19 @@ class MARN1AZS(nn.Module):
         return (logp,)
 
 
-def _shared_lstm_step(consts, carry, xs, use_speaker_term):
-    """Pure cf/azs recurrence step (vmappable over the direction axis)."""
+def _shared_lstm_step(consts, carry, xs, use_speaker_term, training=False):
+    """Pure cf/azs recurrence step (vmappable over the direction axis).
+
+    The cf/azs cells have no nn.Dropout member in the reference, but their
+    per-step CrossAttention does (p=0.2, ``lsthm_cf.py:57-71``) — in train
+    mode the attention dropout key rides along as a scan input."""
     K_l, b_l, K_a, b_a, sWih, sbih, sWhh, sbhh, wq, wk = consts
     h_l, c_l, h_a, c_a, h_s, c_s, z, q = carry
-    xlp, xap, qm = xs
+    if training:
+        xlp, xap, qm, key = xs
+    else:
+        xlp, xap, qm = xs
+        key = None
 
     q0_sel = select_parties(q, qm)
     xs_proj = jnp.matmul(q0_sel, sWih) + sbih
@@ -478,12 +491,12 @@ def _shared_lstm_step(consts, carry, xs, use_speaker_term):
     c_l, h_l = lsthm_gates(xlp + jnp.matmul(state_l, K_l) + b_l, c_l)
     c_a, h_a = lsthm_gates(xap + jnp.matmul(state_a, K_a) + b_a, c_a)
 
-    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, True, None)
+    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, not training, key)
     return (h_l, c_l, h_a, c_a, h_s, c_s, z, q), (h_l, h_a, z, q_affine)
 
 
 def _fused_shared_lstm(cell_f, cell_b, inputs_f, inputs_b, use_speaker_term,
-                       emit_q, deterministic):
+                       emit_q, deterministic, make_rng=None):
     """Run both cf/azs directions as one scan with a direction-vmapped step.
     inputs_*: (x_l, x_a, qmask) per direction."""
     import functools
@@ -495,18 +508,27 @@ def _fused_shared_lstm(cell_f, cell_b, inputs_f, inputs_b, use_speaker_term,
     consts = jax.tree_util.tree_map(
         lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
 
+    L = inputs_f[0].shape[0]
     B = inputs_f[0].shape[1]
     P = inputs_f[2].shape[2]
     H = consts_f[0].shape[1] // 4
     z2 = lambda *s: jnp.zeros((2,) + s, inputs_f[0].dtype)
     init = tuple(z2(B, H) for _ in range(7)) + (z2(B, P, H),)
 
+    training = not deterministic
     fn = functools.partial(_shared_lstm_step,
-                           use_speaker_term=use_speaker_term)
+                           use_speaker_term=use_speaker_term,
+                           training=training)
+    if training:
+        seqs = seqs + (jax.random.split(make_rng(), (L, 2)),)
 
     def step(carry, xs):
         return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
 
+    if training:
+        from ser_tpu import config
+
+        step = config.scan_remat(step)
     _, (h_l, h_a, z, q_affine) = jax.lax.scan(step, init, seqs)
     if emit_q:
         ys = jnp.concatenate([h_l, h_a, z, q_affine], axis=-1)
@@ -528,7 +550,8 @@ class MARNCellMF(nn.Module):
     d_in: int = 100
 
     @nn.compact
-    def __call__(self, x, qmask, deterministic: bool = True):
+    def __call__(self, x, qmask, deterministic: bool = True,
+                 mode: str = "run"):
         d_l = self.d_in
         H = self.dh
         x_l = jnp.swapaxes(x[:, :, :d_l], 0, 1)
@@ -565,30 +588,43 @@ class MARNCellMF(nn.Module):
         K_a = jnp.concatenate([Ua, Sa], axis=0)
         b_a = bUa + bSa
 
-        def step(carry, xs):
-            h_l, c_l, h_a, c_a, h_s, c_s, q = carry
-            xlp, xap, zgl, zga, qm = xs
-
-            q0_sel = select_parties(q, qm)
-            xs_proj = jnp.matmul(q0_sel, sWih) + sbih
-            h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
-            q_affine = h_s
-            q = _broadcast_scatter(q0_sel, q_affine, qm)
-
-            sums_l = xlp + jnp.matmul(
-                jnp.concatenate([h_l, q_affine], axis=-1), K_l) + b_l
-            c_l, h_l = lsthm_mf_gates(sums_l, zgl, c_l)
-            sums_a = xap + jnp.matmul(
-                jnp.concatenate([h_a, q_affine], axis=-1), K_a) + b_a
-            c_a, h_a = lsthm_mf_gates(sums_a, zga, c_a)
-
-            y = jnp.concatenate([h_l, h_a], axis=-1)
-            return (h_l, c_l, h_a, c_a, h_s, c_s, q), y
+        seqs = (xl_proj, xa_proj, zg_l, zg_a, qmask)
+        consts = (K_l, b_l, K_a, b_a, sWih, sbih, sWhh, sbhh)
+        if mode == "gather":
+            # mf's cell has no in-cell dropout, so direction fusion covers
+            # train AND eval.
+            return seqs, consts
 
         z0 = jnp.zeros((B, H), x_l.dtype)
         init = (z0, z0, z0, z0, z0, z0, jnp.zeros((B, P, H), x_l.dtype))
-        _, h = jax.lax.scan(step, init, (xl_proj, xa_proj, zg_l, zg_a, qmask))
-        return h
+
+        def step(carry, xs):
+            return _mf_step(consts, carry, xs)
+
+        _, (h_l, h_a) = jax.lax.scan(step, init, seqs)
+        return jnp.concatenate([h_l, h_a], axis=-1)
+
+
+def _mf_step(consts, carry, xs):
+    """Pure mf recurrence step (vmappable over the direction axis)."""
+    K_l, b_l, K_a, b_a, sWih, sbih, sWhh, sbhh = consts
+    h_l, c_l, h_a, c_a, h_s, c_s, q = carry
+    xlp, xap, zgl, zga, qm = xs
+
+    q0_sel = select_parties(q, qm)
+    xs_proj = jnp.matmul(q0_sel, sWih) + sbih
+    h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
+    q_affine = h_s
+    q = _broadcast_scatter(q0_sel, q_affine, qm)
+
+    sums_l = xlp + jnp.matmul(
+        jnp.concatenate([h_l, q_affine], axis=-1), K_l) + b_l
+    c_l, h_l = lsthm_mf_gates(sums_l, zgl, c_l)
+    sums_a = xap + jnp.matmul(
+        jnp.concatenate([h_a, q_affine], axis=-1), K_a) + b_a
+    c_a, h_a = lsthm_mf_gates(sums_a, zga, c_a)
+
+    return (h_l, c_l, h_a, c_a, h_s, c_s, q), (h_l, h_a)
 
 
 class MARNCellLA(nn.Module):
@@ -600,7 +636,8 @@ class MARNCellLA(nn.Module):
     d_in: int = 100
 
     @nn.compact
-    def __call__(self, x, qmask, deterministic: bool = True):
+    def __call__(self, x, qmask, deterministic: bool = True,
+                 mode: str = "run"):
         d_l = self.d_in
         H = self.dh
         x_l = jnp.swapaxes(x[:, :, :d_l], 0, 1)
@@ -647,56 +684,101 @@ class MARNCellLA(nn.Module):
         gl_proj = jnp.matmul(x_l, glWih) + glbih
         ga_proj = jnp.matmul(x_l, gaWih) + gabih
 
-        def step(carry, xs):
-            h_l, c_l, h_a, c_a, h_s, c_s, hgl, cgl, hga, cga, q = carry
-            xl_t, xa_t, glp, gap, qm = xs
-
-            q0_sel = select_parties(q, qm)
-            xs_proj = jnp.matmul(q0_sel, sWih) + sbih
-            h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
-            q_affine = h_s
-            q = _broadcast_scatter(q0_sel, q_affine, qm)
-
-            hgl, cgl = lstm_step(glp, hgl, cgl, glWhh, glbhh)
-            hga, cga = lstm_step(gap, hga, cga, gaWhh, gabhh)
-
-            in_l = jax.nn.softmax(cgl, axis=-1) * xl_t
-            in_a = jax.nn.softmax(cga, axis=-1) * xa_t
-            sums_l = jnp.matmul(in_l, Wl) + bWl + jnp.matmul(
-                jnp.concatenate([h_l, q_affine], axis=-1), K_l) + b_l
-            c_l, h_l = lsthm_gates(sums_l, c_l)
-            sums_a = jnp.matmul(in_a, Wa) + bWa + jnp.matmul(
-                jnp.concatenate([h_a, q_affine], axis=-1), K_a) + b_a
-            c_a, h_a = lsthm_gates(sums_a, c_a)
-
-            y = jnp.concatenate([h_l, h_a], axis=-1)
-            return (h_l, c_l, h_a, c_a, h_s, c_s, hgl, cgl, hga, cga, q), y
+        seqs = (x_l, x_a, gl_proj, ga_proj, qmask)
+        consts = (Wl, bWl, K_l, b_l, Wa, bWa, K_a, b_a,
+                  sWih, sbih, sWhh, sbhh, glWhh, glbhh, gaWhh, gabhh)
+        if mode == "gather":
+            # la's cell has no in-cell dropout, so direction fusion covers
+            # train AND eval.
+            return seqs, consts
 
         zH = jnp.zeros((B, H), x_l.dtype)
         zD = jnp.zeros((B, d_l), x_l.dtype)
         init = (zH, zH, zH, zH, zH, zH, zD, zD, zD, zD,
                 jnp.zeros((B, P, H), x_l.dtype))
-        _, h = jax.lax.scan(step, init, (x_l, x_a, gl_proj, ga_proj, qmask))
-        return h
+
+        def step(carry, xs):
+            return _la_step(consts, carry, xs)
+
+        _, (h_l, h_a) = jax.lax.scan(step, init, seqs)
+        return jnp.concatenate([h_l, h_a], axis=-1)
+
+
+def _la_step(consts, carry, xs):
+    """Pure la recurrence step (vmappable over the direction axis)."""
+    (Wl, bWl, K_l, b_l, Wa, bWa, K_a, b_a,
+     sWih, sbih, sWhh, sbhh, glWhh, glbhh, gaWhh, gabhh) = consts
+    h_l, c_l, h_a, c_a, h_s, c_s, hgl, cgl, hga, cga, q = carry
+    xl_t, xa_t, glp, gap, qm = xs
+
+    q0_sel = select_parties(q, qm)
+    xs_proj = jnp.matmul(q0_sel, sWih) + sbih
+    h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
+    q_affine = h_s
+    q = _broadcast_scatter(q0_sel, q_affine, qm)
+
+    hgl, cgl = lstm_step(glp, hgl, cgl, glWhh, glbhh)
+    hga, cga = lstm_step(gap, hga, cga, gaWhh, gabhh)
+
+    in_l = jax.nn.softmax(cgl, axis=-1) * xl_t
+    in_a = jax.nn.softmax(cga, axis=-1) * xa_t
+    sums_l = jnp.matmul(in_l, Wl) + bWl + jnp.matmul(
+        jnp.concatenate([h_l, q_affine], axis=-1), K_l) + b_l
+    c_l, h_l = lsthm_gates(sums_l, c_l)
+    sums_a = jnp.matmul(in_a, Wa) + bWa + jnp.matmul(
+        jnp.concatenate([h_a, q_affine], axis=-1), K_a) + b_a
+    c_a, h_a = lsthm_gates(sums_a, c_a)
+
+    return (h_l, c_l, h_a, c_a, h_s, c_s, hgl, cgl, hga, cga, q), (h_l, h_a)
 
 
 class _NoAttnBidir(nn.Module):
     """Shared mf/la top level: bidirectional cells over raw x, plain head
-    (ref ``lsthm_mf.py:158-220``, ``lsthm_la.py:166-228``)."""
+    (ref ``lsthm_mf.py:158-220``, ``lsthm_la.py:166-228``). Both directions
+    run as ONE scan with a direction-vmapped step (the cells have no in-cell
+    dropout, so the fusion is exact in train and eval)."""
 
     cell_cls: type
     n_classes: int = 6
 
     @nn.compact
     def __call__(self, x, qmask, umask, deterministic: bool = True):
-        h_f = Dropout(0.5, name="dropout_rec")(
-            self.cell_cls(name="marn_cell_f")(x, qmask, deterministic),
-            deterministic)
         rev_x = reverse_seq(x, umask)
         rev_qmask = reverse_seq(qmask, umask)
-        h_b = self.cell_cls(name="marn_cell_b")(rev_x, rev_qmask, deterministic)
+        seqs_f, consts_f = self.cell_cls(name="marn_cell_f")(
+            x, qmask, deterministic, mode="gather")
+        seqs_b, consts_b = self.cell_cls(name="marn_cell_b")(
+            rev_x, rev_qmask, deterministic, mode="gather")
+        seqs = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
+        consts = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
+
+        B, P = x.shape[1], qmask.shape[2]
+        z2 = lambda *s: jnp.zeros((2,) + s, x.dtype)
+        if self.cell_cls is MARNCellMF:
+            step_fn = _mf_step
+            H = consts_f[0].shape[1] // 4  # K_l: [2H, 4H]
+            init = tuple(z2(B, H) for _ in range(6)) + (z2(B, P, H),)
+        else:
+            step_fn = _la_step
+            d_l, H = consts_f[0].shape[0], consts_f[0].shape[1] // 4
+            init = (tuple(z2(B, H) for _ in range(6))
+                    + tuple(z2(B, d_l) for _ in range(4)) + (z2(B, P, H),))
+
+        def step(carry, xs):
+            return jax.vmap(step_fn, in_axes=(0, 0, 0))(consts, carry, xs)
+
+        if not deterministic:
+            from ser_tpu import config
+
+            step = config.scan_remat(step)
+        _, (h_l, h_a) = jax.lax.scan(step, init, seqs)
+        ys = jnp.concatenate([h_l, h_a], axis=-1)  # [L, 2, B, 2H]
+
+        h_f = Dropout(0.5, name="dropout_rec")(ys[:, 0], deterministic)
         h_b = Dropout(0.5, name="dropout_rec_b")(
-            reverse_seq(h_b, umask), deterministic)
+            reverse_seq(ys[:, 1], umask), deterministic)
         h = jnp.concatenate([h_f, h_b], axis=-1)
         _ = TorchLinear(32, name="linear")(jnp.zeros((1, h.shape[-1])))
         logp = _logp_head(self, h, self.n_classes, deterministic=deterministic)
