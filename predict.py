@@ -38,6 +38,9 @@ def main(argv=None):
                    choices=["test", "valid", "train"])
     p.add_argument("--res_csv", type=str, default="res.csv")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--torch_format", action="store_true",
+                   help="--initial_model is a reference PyTorch .model "
+                        "checkpoint (imported via ser_tpu.compat)")
     args = p.parse_args(argv)
 
     seed_everything(args.seed)
@@ -57,7 +60,8 @@ def main(argv=None):
               "train": train_loader}[args.split]
 
     trainer = ModelTrainer(res_csv_path=args.res_csv, **vars(args))
-    trainer.load_parameters(args.initial_model)
+    trainer.load_parameters(args.initial_model,
+                            torch_format=args.torch_format)
     acc, f1, _ = trainer.eval_network(loader)
 
     print(json.dumps({

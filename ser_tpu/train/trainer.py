@@ -209,8 +209,17 @@ class ModelTrainer:
     def save_parameters(self, path):
         ckpt.save_parameters(self.params, path)
 
-    def load_parameters(self, path):
-        self.params = ckpt.load_parameters(self.params, path)
+    def load_parameters(self, path, torch_format=False):
+        if torch_format:
+            # A reference-framework checkpoint (torch.save of the trainer's
+            # state_dict, model_trainer.py:170-171) — import with the same
+            # tolerant partial-load semantics.
+            from ser_tpu.compat.torch_import import import_torch_checkpoint
+
+            self.params = import_torch_checkpoint(
+                self.params, path, self.spec.name)
+        else:
+            self.params = ckpt.load_parameters(self.params, path)
         # Optimizer moments are intentionally not checkpointed, matching the
         # reference (model_trainer.py:170-171 saves the state_dict only).
         self.opt_state = self.tx.init(self.params)

@@ -86,7 +86,7 @@ def main(args):
     if args.eval:
         s = ModelTrainer(**vars(args))
         print("Model %s loaded from previous state!" % args.initial_model)
-        s.load_parameters(args.initial_model)
+        s.load_parameters(args.initial_model, torch_format=args.torch_format)
         acc, fscore, _ = s.eval_network(test_loader)
         print(f"Acc {acc:.2f}, Fscore {fscore:.2f}")
         return
@@ -94,7 +94,8 @@ def main(args):
     trainer = ModelTrainer(**vars(args))
     if args.initial_model != "":
         print("Model %s loaded from previous state!" % args.initial_model)
-        trainer.load_parameters(args.initial_model)
+        trainer.load_parameters(
+            args.initial_model, torch_format=args.torch_format)
 
     fscores = []
     w_dic = defaultdict(list)
@@ -166,6 +167,9 @@ def parser_args(argv=None):
                         help="data-parallel over all visible devices")
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise on first NaN (jax_debug_nans)")
+    parser.add_argument("--torch_format", action="store_true",
+                        help="--initial_model is a reference PyTorch "
+                             ".model checkpoint (imported via ser_tpu.compat)")
     args = parser.parse_args(argv)
     return init_args(args)
 
