@@ -149,6 +149,31 @@ def main():
     train_utts = float(np.sum(train_batch["umask"]))
     train_utts_per_sec = train_utts / train_sec
 
+    # --- tertiary: raw-audio MFCC front-end throughput (north-star kernel) ---
+    from ser_tpu.data.frontend import MFCCFrontend
+
+    fe = MFCCFrontend(out_dim=100)
+    T_wav = 4000  # 0.25 s @ 16 kHz per utterance
+    wav = jnp.asarray(
+        np.random.default_rng(3).standard_normal(
+            (n_utts, T_wav)).astype(np.float32))
+
+    @jax.jit
+    def fe_loop(wav, n):
+        def body(i, acc):
+            out = fe(wav + 1e-30 * acc)
+            return jnp.sum(out)
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    fiters = 21
+    float(fe_loop(wav, 1))
+    t_long = min(
+        _timed(lambda: float(fe_loop(wav, fiters))) for _ in range(3))
+    t_short = min(_timed(lambda: float(fe_loop(wav, 1))) for _ in range(3))
+    fe_sec = max((t_long - t_short) / (fiters - 1), 1e-9)
+    fe_utts_per_sec = n_utts / fe_sec
+
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baselines", "torch_cpu.json"
     )
@@ -171,6 +196,9 @@ def main():
                     "train_utterances_per_sec": round(train_utts_per_sec, 1),
                     "train_seconds_per_step": round(train_sec, 5),
                     "train_shape": list(train_batch["r1"].shape[:2]),
+                    "mfcc_frontend_utterances_per_sec": round(
+                        fe_utts_per_sec, 1),
+                    "mfcc_frontend_wav_seconds_per_utt": T_wav / 16000,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },

@@ -76,4 +76,11 @@ def collate(items, pad_length=None, pad_batch=None, buckets=DEFAULT_BUCKETS):
         out["umask"] = umask
         out["label"] = label
     out["vid"] = [it[9] for it in items] + [None] * (B - n)
+    if len(items[0]) > 10:
+        # optional raw-audio field for the on-device MFCC front-end
+        T = items[0][10].shape[-1]
+        wav = np.zeros((L, B, T), dtype=np.float32)
+        for b, it in enumerate(items):
+            wav[: it[10].shape[0], b] = it[10]
+        out["wav"] = wav
     return out

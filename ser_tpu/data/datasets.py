@@ -32,9 +32,9 @@ def _f32(x):
 class IEMOCAPDataset:
     """IEMOCAP dialogues with RoBERTa text views (ref ``dataloader.py:10-47``)."""
 
-    N_FIELDS = 10  # r1 r2 r3 r4 visual audio qmask umask label vid
+    N_FIELDS = 10  # r1 r2 r3 r4 visual audio qmask umask label vid (+ wav)
 
-    def __init__(self, path, train=True, roberta_path=None):
+    def __init__(self, path, train=True, roberta_path=None, wav_path=None):
         with open(path, "rb") as f:
             (
                 self.videoIDs,
@@ -66,6 +66,14 @@ class IEMOCAPDataset:
                 self.validIds,
             ) = pickle.load(f, encoding="latin1")
 
+        # Optional raw-audio table ({vid: [n_utt, T] float32}) consumed by
+        # the on-device MFCC front-end (ser_tpu.data.frontend); when present
+        # items carry an 11th 'wav' field after vid.
+        self.videoWav = None
+        if wav_path is not None:
+            with open(wav_path, "rb") as f:
+                self.videoWav = pickle.load(f, encoding="latin1")
+
         self.keys = list(self.trainVid if train else self.testVid)
 
     def __len__(self):
@@ -77,7 +85,7 @@ class IEMOCAPDataset:
             [[1, 0] if x == "M" else [0, 1] for x in self.videoSpeakers[vid]]
         )
         n = len(self.videoLabels[vid])
-        return (
+        item = (
             _f32(self.roberta1[vid]),
             _f32(self.roberta2[vid]),
             _f32(self.roberta3[vid]),
@@ -89,6 +97,9 @@ class IEMOCAPDataset:
             np.asarray(self.videoLabels[vid], dtype=np.int32),
             vid,
         )
+        if self.videoWav is not None:
+            item = item + (_f32(self.videoWav[vid]),)
+        return item
 
 
 class MELDDataset:

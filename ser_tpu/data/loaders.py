@@ -119,14 +119,25 @@ def get_loaders(
     n_classes=3,
     seed=0,
     roberta_path=None,
+    wav_path=None,
     **kwargs,
 ):
-    """Build (train, valid, test) loaders (ref ``dataloader.py:153-182``)."""
+    """Build (train, valid, test) loaders (ref ``dataloader.py:153-182``).
+
+    ``wav_path``: optional raw-audio pickle ({vid: [n_utt, T]}) enabling the
+    on-device MFCC front-end path; "auto" picks IEMOCAP_wav.pkl next to the
+    main pickle."""
     del num_workers  # host pipeline is synchronous numpy
     if dataset == "IEMOCAP":
         path = feature_path + "IEMOCAP_features/IEMOCAP_features_raw.pkl"
-        trainset = IEMOCAPDataset(path=path, roberta_path=roberta_path)
-        testset = IEMOCAPDataset(path=path, train=False, roberta_path=roberta_path)
+        if wav_path == "auto":
+            import os
+
+            wav_path = os.path.join(os.path.dirname(path), "IEMOCAP_wav.pkl")
+        trainset = IEMOCAPDataset(path=path, roberta_path=roberta_path,
+                                  wav_path=wav_path)
+        testset = IEMOCAPDataset(path=path, train=False,
+                                 roberta_path=roberta_path, wav_path=wav_path)
     elif dataset == "MELD":
         path = feature_path + "MELD_features/MELD_features_raw.pkl"
         trainset = MELDDataset(path=path, n_classes=n_classes, roberta_path=roberta_path)

@@ -45,6 +45,24 @@ def _make_dialogue(rng, n_utt, n_classes, protos, speaker_protos, noise):
     return labels, speakers, feats
 
 
+def _class_waveforms(rng, labels, speakers, n_classes, wav_len, sr=16000):
+    """Raw waveforms whose spectral envelope carries the class signal: each
+    class is a fixed 3-harmonic mixture, speakers shift the fundamental,
+    plus white noise. MFCC mean-pooling separates these well."""
+    t = np.arange(wav_len) / sr
+    base = 120.0 + 60.0 * rng.random(n_classes)  # per-class fundamental
+    harm = 1.0 + rng.random((n_classes, 3)) * np.array([2.0, 4.0, 8.0])
+    amp = 0.3 + 0.7 * rng.random((n_classes, 3))
+    out = np.zeros((len(labels), wav_len), dtype=np.float32)
+    for i, (lab, sp) in enumerate(zip(labels, speakers)):
+        f0 = base[lab] * (1.0 if sp == 0 else 1.4)
+        phase = 2 * np.pi * rng.random(3)
+        sig = sum(amp[lab, j] * np.sin(2 * np.pi * f0 * harm[lab, j] * t
+                                       + phase[j]) for j in range(3))
+        out[i] = sig + 0.5 * rng.standard_normal(wav_len)
+    return out
+
+
 def generate_iemocap_pickles(
     out_dir,
     n_train=120,
@@ -53,10 +71,14 @@ def generate_iemocap_pickles(
     min_len=16,
     max_len=110,
     seed=0,
+    with_wav=False,
+    wav_len=4000,
 ):
     """Write IEMOCAP_features_raw.pkl + iemocap_features_roberta.pkl under
     ``out_dir/IEMOCAP_features/``. Returns the feature_path prefix to pass to
-    get_loaders (i.e. ``out_dir + '/'``)."""
+    get_loaders (i.e. ``out_dir + '/'``). With ``with_wav=True`` an
+    ``IEMOCAP_wav.pkl`` ({vid: [n_utt, wav_len] float32}) is written next to
+    them for the raw-audio front-end path."""
     rng = np.random.default_rng(seed)
     dirpath = os.path.join(out_dir, "IEMOCAP_features")
     os.makedirs(dirpath, exist_ok=True)
@@ -89,6 +111,7 @@ def generate_iemocap_pickles(
     speakers_map, labels_map, sentences_map = {}, {}, {}
 
     all_vids = []
+    videoWav = {}
     for i in range(n_train + n_test):
         vid = f"Ses{i:03d}"
         all_vids.append(vid)
@@ -96,6 +119,9 @@ def generate_iemocap_pickles(
         labels, speakers, feats = _make_dialogue(
             rng, n_utt, n_classes, protos, speaker_protos, noise
         )
+        if with_wav:
+            videoWav[vid] = _class_waveforms(
+                rng, labels, speakers, n_classes, wav_len)
         videoIDs[vid] = [f"{vid}_utt{t}" for t in range(n_utt)]
         videoSpeakers[vid] = ["M" if s == 0 else "F" for s in speakers]
         videoLabels[vid] = labels.tolist()
@@ -128,6 +154,10 @@ def generate_iemocap_pickles(
             ),
             f,
         )
+
+    if with_wav:
+        with open(os.path.join(dirpath, "IEMOCAP_wav.pkl"), "wb") as f:
+            pickle.dump(videoWav, f)
 
     roberta_path = os.path.join(dirpath, "iemocap_features_roberta.pkl")
     valid_split = int(0.2 * len(trainVid))

@@ -19,7 +19,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-TIME_MAJOR_KEYS = ("r1", "r2", "r3", "r4", "visuf", "acouf", "qmask")
+TIME_MAJOR_KEYS = ("r1", "r2", "r3", "r4", "visuf", "acouf", "qmask", "wav")
 BATCH_MAJOR_KEYS = ("umask", "label")
 
 

@@ -30,6 +30,7 @@ from ser_tpu.train.optim import step_lr, torch_adam
 
 BATCH_ARRAY_KEYS = (
     "r1", "r2", "r3", "r4", "visuf", "acouf", "qmask", "umask", "label",
+    "wav",
 )
 
 
@@ -57,6 +58,7 @@ class ModelTrainer:
         weight_decay=2e-5,
         res_csv_path="res.csv",
         mesh=None,
+        audio_frontend=None,
         **kwargs,
     ):
         del device, kwargs  # device selection is implicit (jax default)
@@ -67,6 +69,11 @@ class ModelTrainer:
         self.dataset = dataset
         self.res_csv_path = res_csv_path
         self.mesh = mesh
+        if audio_frontend is not None and not callable(audio_frontend):
+            from ser_tpu.data.frontend import make_frontend
+
+            audio_frontend = make_frontend(audio_frontend)
+        self.audio_frontend = audio_frontend
 
         # Init params from a tiny synthetic batch (shapes don't affect param
         # shapes; any L/B works).
@@ -114,6 +121,10 @@ class ModelTrainer:
 
     # ------------------------------------------------------------------
     def _forward(self, params, batch, deterministic, rng=None):
+        if self.audio_frontend is not None and "wav" in batch:
+            # on-device raw-audio front-end: compute the 100-d audio slot
+            # inside the jitted step (fused MFCC kernel, ops/pallas/mfcc.py)
+            batch = dict(batch, acouf=self.audio_frontend(batch["wav"]))
         args = self.spec.make_inputs(batch)
         rngs = None if deterministic else {"dropout": rng}
         out = self.model.apply(

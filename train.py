@@ -37,13 +37,15 @@ def main(args):
 
         enable_nan_checks(True)
 
+    use_frontend = args.audio_frontend not in (None, "", "none")
     if args.synthetic:
         import tempfile
 
         from ser_tpu.data.synthetic import generate_iemocap_pickles
 
         tmp = tempfile.mkdtemp(prefix="ser_tpu_synth_")
-        args.feature_path = generate_iemocap_pickles(tmp, seed=args.seed)
+        args.feature_path = generate_iemocap_pickles(
+            tmp, seed=args.seed, with_wav=use_frontend)
 
     train_loader, valid_loader, test_loader = get_loaders(
         args.feature_path,
@@ -54,6 +56,7 @@ def main(args):
         n_classes=args.n_classes,
         seed=args.seed,
         roberta_path=args.roberta_path,
+        wav_path="auto" if use_frontend else None,
     )
     if args.num_workers > 0:
         from ser_tpu.data.loaders import PrefetchLoader
@@ -170,6 +173,10 @@ def parser_args(argv=None):
     parser.add_argument("--torch_format", action="store_true",
                         help="--initial_model is a reference PyTorch "
                              ".model checkpoint (imported via ser_tpu.compat)")
+    parser.add_argument("--audio_frontend", type=str, default="none",
+                        help="none / mfcc — compute the 100-d audio slot "
+                             "on-device from raw waveforms (fused MFCC "
+                             "kernel) instead of precomputed features")
     args = parser.parse_args(argv)
     return init_args(args)
 
