@@ -5,6 +5,8 @@ this tool profiles any subset of the registry at the IEMOCAP eval shape.
 
 Usage:
     python bench_zoo.py [--models MARN1_onlysp DialogueRNN ...] [--iters 20]
+    python bench_zoo.py --save baselines/zoo_r02.json     # record a baseline
+    python bench_zoo.py --check baselines/zoo_r02.json    # diff vs baseline
 """
 
 from __future__ import annotations
@@ -68,6 +70,10 @@ def main():
     p.add_argument("--models", nargs="*", default=None,
                    help="subset (default: all registered models)")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--save", type=str, default=None,
+                   help="write results JSON (per-model baseline for rounds)")
+    p.add_argument("--check", type=str, default=None,
+                   help="compare against a saved baseline; flag >20%% drops")
     args = p.parse_args()
 
     batch, n_utts = iemocap_eval_batch()
@@ -78,6 +84,31 @@ def main():
         except Exception as e:  # keep going; report the failure
             results[name] = {"error": f"{type(e).__name__}: {e}"}
         print(json.dumps({name: results[name]}), flush=True)
+
+    if args.save:
+        import jax
+
+        with open(args.save, "w") as f:
+            json.dump({"backend": jax.default_backend(),
+                       "n_utterances": n_utts,
+                       "models": results}, f, indent=2)
+        print(f"saved baseline -> {args.save}")
+
+    if args.check:
+        with open(args.check) as f:
+            base = json.load(f)["models"]
+        regressions = []
+        for name, res in results.items():
+            if "error" in res or "error" in base.get(name, {"error": 1}):
+                continue
+            ratio = res["utterances_per_sec"] / base[name][
+                "utterances_per_sec"]
+            flag = " REGRESSION" if ratio < 0.8 else ""
+            print(f"{name}: {ratio:.2f}x vs baseline{flag}")
+            if ratio < 0.8:
+                regressions.append(name)
+        if regressions:
+            raise SystemExit(f"throughput regressions: {regressions}")
 
     print(json.dumps({"all": results}, indent=2))
 

@@ -59,6 +59,7 @@ class ModelTrainer:
         res_csv_path="res.csv",
         mesh=None,
         audio_frontend=None,
+        infonce=0.0,
         **kwargs,
     ):
         del device, kwargs  # device selection is implicit (jax default)
@@ -74,6 +75,11 @@ class ModelTrainer:
 
             audio_frontend = make_frontend(audio_frontend)
         self.audio_frontend = audio_frontend
+        # InfoNCE auxiliary term: the reference constructs the loss as a
+        # trainer member (model_trainer.py:79) with its use commented out
+        # (:111-115); infonce > 0 enables that commented formulation with
+        # the given weight.
+        self.infonce = float(infonce)
 
         # Init params from a tiny synthetic batch (shapes don't affect param
         # shapes; any L/B works).
@@ -120,7 +126,7 @@ class ModelTrainer:
             self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------
-    def _forward(self, params, batch, deterministic, rng=None):
+    def _forward(self, params, batch, deterministic, rng=None, raw=False):
         if self.audio_frontend is not None and "wav" in batch:
             # on-device raw-audio front-end: compute the 100-d audio slot
             # inside the jitted step (fused MFCC kernel, ops/pallas/mfcc.py)
@@ -130,7 +136,7 @@ class ModelTrainer:
         out = self.model.apply(
             {"params": params}, *args, deterministic=deterministic, rngs=rngs
         )
-        return self.spec.extract_logp(out)
+        return out if raw else self.spec.extract_logp(out)
 
     def _flat_targets(self, batch):
         """labels/mask flattened to match the model's logp row layout."""
@@ -142,8 +148,23 @@ class ModelTrainer:
         labels, umask = self._flat_targets(batch)
 
         def loss_fn(p):
-            logp = self._forward(p, batch, deterministic=False, rng=rng)
-            return masked_loss(logp, labels, umask, kind=self.loss_kind)
+            out = self._forward(p, batch, deterministic=False, rng=rng,
+                                raw=True)
+            logp = self.spec.extract_logp(out)
+            loss = masked_loss(logp, labels, umask, kind=self.loss_kind)
+            if self.infonce > 0 and isinstance(out, tuple) and len(out) >= 3:
+                # the reference's commented formulation
+                # (model_trainer.py:111-115): flatten the per-dialogue
+                # feature sequences, query/positive = out[1], negatives =
+                # out[2], unpaired mode.
+                from ser_tpu.train.losses import info_nce
+
+                b = out[1].shape[1]
+                q = jnp.swapaxes(out[1], 0, 1).reshape(b, -1)
+                neg = jnp.swapaxes(out[2], 0, 1).reshape(b, -1)
+                loss = loss + self.infonce * info_nce(
+                    q, q, neg, negative_mode="unpaired")
+            return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         opt_state.hyperparams["learning_rate"] = lr

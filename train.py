@@ -173,6 +173,10 @@ def parser_args(argv=None):
     parser.add_argument("--torch_format", action="store_true",
                         help="--initial_model is a reference PyTorch "
                              ".model checkpoint (imported via ser_tpu.compat)")
+    parser.add_argument("--infonce", type=float, default=0.0,
+                        help="weight of the InfoNCE auxiliary loss (the "
+                             "reference's commented-out term, "
+                             "model_trainer.py:111-115); 0 disables")
     parser.add_argument("--audio_frontend", type=str, default="none",
                         help="none / mfcc — compute the 100-d audio slot "
                              "on-device from raw waveforms (fused MFCC "
