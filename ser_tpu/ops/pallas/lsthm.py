@@ -13,14 +13,25 @@ Covers the deterministic (eval/serving) path of
 (dropout needs per-step RNG). Validated against the scan path in tests
 (interpret mode on CPU, compiled on TPU).
 
-MEASURED RESULT (v5e-1, T=82, B=31): the XLA lax.scan lowering runs the
-recurrence in ~3.6 ms/pass while this kernel takes ~118 ms — Mosaic's
-per-grid-step block streaming and the [B, H, H] attention intermediates
-lower poorly at these tiny shapes, and XLA's fused while-loop is already
-near the latency floor. The kernel is therefore OPT-IN
-(``MARNCellOnlySP(pallas='on')``), kept as validated infrastructure for
-larger-batch serving shapes where the VMEM-resident-carry design pays off;
-the default eval path stays on lax.scan.
+MEASURED RESULT — round-2 earn-or-retire matrix (v5e-1, T=110, f32; after
+the fused rank-1 attention landed in the XLA path too):
+
+  single direction, B=31:  pallas 0.66 ms  vs  lax.scan 0.82 ms  (1.23x WIN)
+  single direction, K=8 step unroll: 0.90 ms (unroll amortizes nothing —
+      per-grid-step overhead is already small; register/VMEM pressure wins)
+  BIDIRECTIONAL (production path = one direction-vmapped scan):
+      B=31: pallas bidir 1.59 ms vs fused scan 1.52 ms (XLA wins)
+      B=80: pallas bidir 4.00 ms vs fused scan 3.29 ms (XLA wins)
+  B=256: Mosaic stages the full [T, B, 4H] inputs on the VMEM stack and
+      OOMs (35.9 MB > 16 MB) — this design does not scale batch up.
+
+(The round-1 "30x slower" measurement does not reproduce on the current
+toolchain; treat it as stale.) Verdict: the production eval path stays on
+the direction-fused XLA scan — it beats the best kernel variant on the
+shapes that matter and has no VMEM ceiling. The kernel remains OPT-IN
+(``MARNCellOnlySP(pallas='on')``, single-direction only) as validated
+infrastructure and the only configuration where Pallas wins (unfused
+single-direction eval).
 """
 
 from __future__ import annotations
@@ -40,7 +51,7 @@ def _kernel(xl_ref, xa_ref, gx_ref, oh_ref, qm_ref,
             wq_ref, wk_ref,
             out_ref,
             hl_s, cl_s, ha_s, ca_s, z_s, q0_s, q1_s,
-            *, H: int, Hs: int):
+            *, H: int, Hs: int, unroll: int = 1):
     import jax.experimental.pallas as pl
 
     step = pl.program_id(0)
@@ -55,63 +66,71 @@ def _kernel(xl_ref, xa_ref, gx_ref, oh_ref, qm_ref,
         q0_s[:, :] = jnp.zeros_like(q0_s)
         q1_s[:, :] = jnp.zeros_like(q1_s)
 
-    oh = oh_ref[0]  # [B, 2] argmax-derived one-hot
-    qm = qm_ref[0]  # [B, 2] raw qmask
-    q0 = q0_s[:, :]
-    q1 = q1_s[:, :]
-    qs0 = q0 * oh[:, 0:1] + q1 * oh[:, 1:2]
+    # K steps per grid invocation (static unroll) amortize Mosaic's
+    # per-grid-step scheduling/DMA overhead across `unroll` utterances.
+    for k in range(unroll):
+        oh = oh_ref[k]  # [B, 2] argmax-derived one-hot
+        qm = qm_ref[k]  # [B, 2] raw qmask
+        q0 = q0_s[:, :]
+        q1 = q1_s[:, :]
+        qs0 = q0 * oh[:, 0:1] + q1 * oh[:, 1:2]
 
-    # GRU speaker update (x side precomputed)
-    hproj = jnp.dot(qs0, gWhh_ref[:, :],
-                    preferred_element_type=jnp.float32) + gbhh_ref[0]
-    xg = gx_ref[0]
-    r = _sigmoid(xg[:, :Hs] + hproj[:, :Hs])
-    zg = _sigmoid(xg[:, Hs:2 * Hs] + hproj[:, Hs:2 * Hs])
-    n = jnp.tanh(xg[:, 2 * Hs:] + r * hproj[:, 2 * Hs:])
-    h_s = (1.0 - zg) * n + zg * qs0
+        # GRU speaker update (x side precomputed)
+        hproj = jnp.dot(qs0, gWhh_ref[:, :],
+                        preferred_element_type=jnp.float32) + gbhh_ref[0]
+        xg = gx_ref[k]
+        r = _sigmoid(xg[:, :Hs] + hproj[:, :Hs])
+        zg = _sigmoid(xg[:, Hs:2 * Hs] + hproj[:, Hs:2 * Hs])
+        n = jnp.tanh(xg[:, 2 * Hs:] + r * hproj[:, 2 * Hs:])
+        h_s = (1.0 - zg) * n + zg * qs0
 
-    # masked scatter into party memory
-    q0_s[:, :] = q0 * (1.0 - qm[:, 0:1]) + h_s * qm[:, 0:1]
-    q1_s[:, :] = q1 * (1.0 - qm[:, 1:2]) + h_s * qm[:, 1:2]
+        # masked scatter into party memory
+        q0_s[:, :] = q0 * (1.0 - qm[:, 0:1]) + h_s * qm[:, 0:1]
+        q1_s[:, :] = q1 * (1.0 - qm[:, 1:2]) + h_s * qm[:, 1:2]
 
-    z = z_s[:, :]
+        z = z_s[:, :]
 
-    # text LSTHM (fused [h|z|s] @ K_l)
-    state_l = jnp.concatenate([hl_s[:, :], z, h_s], axis=-1)
-    sums_l = xl_ref[0] + jnp.dot(
-        state_l, Kl_ref[:, :], preferred_element_type=jnp.float32) + bl_ref[0]
-    c_l = _sigmoid(sums_l[:, :H]) * cl_s[:, :] + \
-        _sigmoid(sums_l[:, H:2 * H]) * jnp.tanh(sums_l[:, 3 * H:])
-    h_l = jnp.tanh(c_l) * _sigmoid(sums_l[:, 2 * H:3 * H])
+        # text LSTHM (fused [h|z|s] @ K_l)
+        state_l = jnp.concatenate([hl_s[:, :], z, h_s], axis=-1)
+        sums_l = xl_ref[k] + jnp.dot(
+            state_l, Kl_ref[:, :],
+            preferred_element_type=jnp.float32) + bl_ref[0]
+        c_l = _sigmoid(sums_l[:, :H]) * cl_s[:, :] + \
+            _sigmoid(sums_l[:, H:2 * H]) * jnp.tanh(sums_l[:, 3 * H:])
+        h_l = jnp.tanh(c_l) * _sigmoid(sums_l[:, 2 * H:3 * H])
 
-    # audio LSTHM
-    state_a = jnp.concatenate([ha_s[:, :], z, h_s], axis=-1)
-    sums_a = xa_ref[0] + jnp.dot(
-        state_a, Ka_ref[:, :], preferred_element_type=jnp.float32) + ba_ref[0]
-    c_a = _sigmoid(sums_a[:, :H]) * ca_s[:, :] + \
-        _sigmoid(sums_a[:, H:2 * H]) * jnp.tanh(sums_a[:, 3 * H:])
-    h_a = jnp.tanh(c_a) * _sigmoid(sums_a[:, 2 * H:3 * H])
+        # audio LSTHM
+        state_a = jnp.concatenate([ha_s[:, :], z, h_s], axis=-1)
+        sums_a = xa_ref[k] + jnp.dot(
+            state_a, Ka_ref[:, :],
+            preferred_element_type=jnp.float32) + ba_ref[0]
+        c_a = _sigmoid(sums_a[:, :H]) * ca_s[:, :] + \
+            _sigmoid(sums_a[:, H:2 * H]) * jnp.tanh(sums_a[:, 3 * H:])
+        h_a = jnp.tanh(c_a) * _sigmoid(sums_a[:, 2 * H:3 * H])
 
-    # collapsed rank-1 cross attention: logits[b,i,k] = alpha[b,i]*wk[k]
-    s = jnp.sum(c_a * wq_ref[0][None, :], axis=-1, keepdims=True) / (H ** 0.5)
-    alpha = c_l * s  # [B, H]
-    logits = alpha[:, :, None] * wk_ref[0][None, None, :]  # [B, H, H]
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    z_new = jnp.sum(e * c_a[:, None, :], axis=-1) / jnp.sum(e, axis=-1)
+        # fused rank-1 cross attention: logits[b,i,j] = alpha[b,i]*wk[j];
+        # exact row max in O(B*H) via the rank-1 structure (matches
+        # ops/attention.py)
+        wk = wk_ref[0]
+        s = jnp.sum(c_a * wq_ref[0][None, :], axis=-1,
+                    keepdims=True) / (H ** 0.5)
+        alpha = c_l * s  # [B, H]
+        m = jnp.where(alpha > 0, alpha * jnp.max(wk), alpha * jnp.min(wk))
+        e = jnp.exp(alpha[:, :, None] * wk[None, None, :] - m[:, :, None])
+        z_new = jnp.sum(e * c_a[:, None, :], axis=-1) / jnp.sum(e, axis=-1)
 
-    hl_s[:, :] = h_l
-    cl_s[:, :] = c_l
-    ha_s[:, :] = h_a
-    ca_s[:, :] = c_a
-    z_s[:, :] = z_new
+        hl_s[:, :] = h_l
+        cl_s[:, :] = c_l
+        ha_s[:, :] = h_a
+        ca_s[:, :] = c_a
+        z_s[:, :] = z_new
 
-    out_ref[0] = jnp.concatenate([h_l, h_a, z_new, h_s], axis=-1)
+        out_ref[k] = jnp.concatenate([h_l, h_a, z_new, h_s], axis=-1)
 
 
 def lsthm_onlysp_recurrence(xl_proj, xa_proj, gru_x, qmask,
                             K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk,
-                            interpret: bool = False):
+                            interpret: bool = False, unroll: int = 1):
     """Run the full onlysp forward recurrence as one fused kernel.
 
     Args (shapes; H=Hl=Ha=Hs=128):
@@ -139,20 +158,28 @@ def lsthm_onlysp_recurrence(xl_proj, xa_proj, gru_x, qmask,
         xl_proj, xa_proj, gru_x, qmask = map(
             pad, (xl_proj, xa_proj, gru_x, qmask))
 
-    idx = jnp.argmax(qmask, axis=2)
-    onehot = jax.nn.one_hot(idx, P, dtype=xl_proj.dtype)  # [T, Bp, 2]
+    K = max(1, unroll)
+    Tp = ((T + K - 1) // K) * K
+    if Tp != T:
+        padt = lambda x: jnp.concatenate(
+            [x, jnp.zeros((Tp - T,) + x.shape[1:], x.dtype)], axis=0)
+        xl_proj, xa_proj, gru_x, qmask = map(
+            padt, (xl_proj, xa_proj, gru_x, qmask))
 
-    kernel = functools.partial(_kernel, H=H, Hs=Hs)
+    idx = jnp.argmax(qmask, axis=2)
+    onehot = jax.nn.one_hot(idx, P, dtype=xl_proj.dtype)  # [Tp, Bp, 2]
+
+    kernel = functools.partial(_kernel, H=H, Hs=Hs, unroll=K)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((T, Bp, 4 * H), jnp.float32),
-        grid=(T,),
+        out_shape=jax.ShapeDtypeStruct((Tp, Bp, 4 * H), jnp.float32),
+        grid=(Tp // K,),
         in_specs=[
-            pl.BlockSpec((1, Bp, 4 * H), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, Bp, 4 * H), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, Bp, 3 * Hs), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, Bp, P), lambda t: (t, 0, 0)),
-            pl.BlockSpec((1, Bp, P), lambda t: (t, 0, 0)),
+            pl.BlockSpec((K, Bp, 4 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((K, Bp, 4 * H), lambda t: (t, 0, 0)),
+            pl.BlockSpec((K, Bp, 3 * Hs), lambda t: (t, 0, 0)),
+            pl.BlockSpec((K, Bp, P), lambda t: (t, 0, 0)),
+            pl.BlockSpec((K, Bp, P), lambda t: (t, 0, 0)),
             pl.BlockSpec(K_l.shape, lambda t: (0, 0)),
             pl.BlockSpec((1, 4 * H), lambda t: (0, 0)),
             pl.BlockSpec(K_a.shape, lambda t: (0, 0)),
@@ -162,7 +189,7 @@ def lsthm_onlysp_recurrence(xl_proj, xa_proj, gru_x, qmask,
             pl.BlockSpec((1, H), lambda t: (0, 0)),
             pl.BlockSpec((1, H), lambda t: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Bp, 4 * H), lambda t: (t, 0, 0)),
+        out_specs=pl.BlockSpec((K, Bp, 4 * H), lambda t: (t, 0, 0)),
         scratch_shapes=[
             # carries live in VMEM across the sequential grid:
             # h_l, c_l, h_a, c_a, z, q_party0, q_party1
@@ -173,4 +200,140 @@ def lsthm_onlysp_recurrence(xl_proj, xa_proj, gru_x, qmask,
     )(xl_proj, xa_proj, gru_x, onehot, qmask,
       K_l, b_l.reshape(1, -1), K_a, b_a.reshape(1, -1),
       gWhh, gbhh.reshape(1, -1), wq.reshape(1, -1), wk.reshape(1, -1))
-    return out[:, :B]
+    return out[:T, :B]
+
+
+def _kernel_bidir(xl_ref, xa_ref, gx_ref, oh_ref, qm_ref,
+                  Kl_ref, bl_ref, Ka_ref, ba_ref, gWhh_ref, gbhh_ref,
+                  wq_ref, wk_ref,
+                  out_ref,
+                  hl_s, cl_s, ha_s, ca_s, z_s, q0_s, q1_s,
+                  *, H: int, Hs: int):
+    """Both recurrence directions in one kernel step: the two chains are
+    independent, so Mosaic overlaps dir-0's MXU matmuls with dir-1's VPU
+    work. Refs carry a leading direction axis of 2; scratch is [2, B, H]."""
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for s in (hl_s, cl_s, ha_s, ca_s, z_s, q0_s, q1_s):
+            s[:, :, :] = jnp.zeros_like(s)
+
+    for d in range(2):
+        oh = oh_ref[0, d]
+        qm = qm_ref[0, d]
+        q0 = q0_s[d]
+        q1 = q1_s[d]
+        qs0 = q0 * oh[:, 0:1] + q1 * oh[:, 1:2]
+
+        hproj = jnp.dot(qs0, gWhh_ref[d],
+                        preferred_element_type=jnp.float32) + gbhh_ref[d]
+        xg = gx_ref[0, d]
+        r = _sigmoid(xg[:, :Hs] + hproj[:, :Hs])
+        zg = _sigmoid(xg[:, Hs:2 * Hs] + hproj[:, Hs:2 * Hs])
+        n = jnp.tanh(xg[:, 2 * Hs:] + r * hproj[:, 2 * Hs:])
+        h_s = (1.0 - zg) * n + zg * qs0
+
+        q0_s[d] = q0 * (1.0 - qm[:, 0:1]) + h_s * qm[:, 0:1]
+        q1_s[d] = q1 * (1.0 - qm[:, 1:2]) + h_s * qm[:, 1:2]
+
+        z = z_s[d]
+        state_l = jnp.concatenate([hl_s[d], z, h_s], axis=-1)
+        sums_l = xl_ref[0, d] + jnp.dot(
+            state_l, Kl_ref[d],
+            preferred_element_type=jnp.float32) + bl_ref[d]
+        c_l = _sigmoid(sums_l[:, :H]) * cl_s[d] + \
+            _sigmoid(sums_l[:, H:2 * H]) * jnp.tanh(sums_l[:, 3 * H:])
+        h_l = jnp.tanh(c_l) * _sigmoid(sums_l[:, 2 * H:3 * H])
+
+        state_a = jnp.concatenate([ha_s[d], z, h_s], axis=-1)
+        sums_a = xa_ref[0, d] + jnp.dot(
+            state_a, Ka_ref[d],
+            preferred_element_type=jnp.float32) + ba_ref[d]
+        c_a = _sigmoid(sums_a[:, :H]) * ca_s[d] + \
+            _sigmoid(sums_a[:, H:2 * H]) * jnp.tanh(sums_a[:, 3 * H:])
+        h_a = jnp.tanh(c_a) * _sigmoid(sums_a[:, 2 * H:3 * H])
+
+        wk = wk_ref[d]
+        s = jnp.sum(c_a * wq_ref[d][None, :], axis=-1,
+                    keepdims=True) / (H ** 0.5)
+        alpha = c_l * s
+        m = jnp.where(alpha > 0, alpha * jnp.max(wk), alpha * jnp.min(wk))
+        e = jnp.exp(alpha[:, :, None] * wk[None, None, :] - m[:, :, None])
+        z_new = jnp.sum(e * c_a[:, None, :], axis=-1) / jnp.sum(e, axis=-1)
+
+        hl_s[d] = h_l
+        cl_s[d] = c_l
+        ha_s[d] = h_a
+        ca_s[d] = c_a
+        z_s[d] = z_new
+
+        out_ref[0, d] = jnp.concatenate([h_l, h_a, z_new, h_s], axis=-1)
+
+
+def lsthm_onlysp_recurrence_bidir(seqs, consts, interpret: bool = False):
+    """Fused BIDIRECTIONAL onlysp recurrence.
+
+    Drop-in replacement for the direction-vmapped ``lax.scan`` in
+    ``MARN1OnlySP``'s fused eval path (same math as ``_eval_step``):
+
+      seqs:   (xl_proj, xa_proj, gru_x, qmask), each [T, 2, B, .]
+      consts: (K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk), each [2, ...]
+
+    Returns [T, 2, B, 4H] per-step outputs [h_l|h_a|z|h_s].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    xl_proj, xa_proj, gru_x, qmask = seqs
+    K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk = consts
+    T, _, B = xl_proj.shape[:3]
+    H = K_l.shape[2] // 4
+    Hs = gWhh.shape[1]
+    P = qmask.shape[3]
+    assert P == 2, "fused kernel supports 2 parties (IEMOCAP)"
+
+    Bp = ((B + 7) // 8) * 8
+    if Bp != B:
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros(x.shape[:2] + (Bp - B,) + x.shape[3:], x.dtype)],
+            axis=2)
+        xl_proj, xa_proj, gru_x, qmask = map(
+            pad, (xl_proj, xa_proj, gru_x, qmask))
+
+    idx = jnp.argmax(qmask, axis=3)
+    onehot = jax.nn.one_hot(idx, P, dtype=xl_proj.dtype)  # [T, 2, Bp, 2]
+
+    kernel = functools.partial(_kernel_bidir, H=H, Hs=Hs)
+    step_specs = [
+        pl.BlockSpec((1, 2, Bp, 4 * H), lambda t: (t, 0, 0, 0)),
+        pl.BlockSpec((1, 2, Bp, 4 * H), lambda t: (t, 0, 0, 0)),
+        pl.BlockSpec((1, 2, Bp, 3 * Hs), lambda t: (t, 0, 0, 0)),
+        pl.BlockSpec((1, 2, Bp, P), lambda t: (t, 0, 0, 0)),
+        pl.BlockSpec((1, 2, Bp, P), lambda t: (t, 0, 0, 0)),
+    ]
+    const_specs = [
+        pl.BlockSpec(K_l.shape, lambda t: (0, 0, 0)),
+        pl.BlockSpec(b_l.shape, lambda t: (0, 0)),
+        pl.BlockSpec(K_a.shape, lambda t: (0, 0, 0)),
+        pl.BlockSpec(b_a.shape, lambda t: (0, 0)),
+        pl.BlockSpec(gWhh.shape, lambda t: (0, 0, 0)),
+        pl.BlockSpec(gbhh.shape, lambda t: (0, 0)),
+        pl.BlockSpec(wq.shape, lambda t: (0, 0)),
+        pl.BlockSpec(wk.shape, lambda t: (0, 0)),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, 2, Bp, 4 * H), jnp.float32),
+        grid=(T,),
+        in_specs=step_specs + const_specs,
+        out_specs=pl.BlockSpec((1, 2, Bp, 4 * H), lambda t: (t, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, Bp, H), jnp.float32) for _ in range(7)
+        ],
+        interpret=interpret,
+    )(xl_proj, xa_proj, gru_x, onehot, qmask,
+      K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk)
+    return out[:, :, :B]

@@ -67,3 +67,35 @@ def test_pallas_full_model_matches_scan():
 
     np.testing.assert_allclose(np.asarray(logp_pallas),
                                np.asarray(logp_scan), rtol=1e-5, atol=1e-5)
+
+
+def test_bidir_kernel_matches_fused_scan():
+    """The direction-batched kernel == the direction-vmapped scan step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ser_tpu.models.marn_onlysp import _eval_step
+    from ser_tpu.ops.pallas.lsthm import lsthm_onlysp_recurrence_bidir
+
+    T, B, H = 9, 3, 128
+    rng = np.random.default_rng(11)
+    f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    sp = rng.integers(0, 2, size=(T, 2, B))
+    qm = np.zeros((T, 2, B, 2), np.float32)
+    qm[np.arange(T)[:, None, None], np.arange(2)[None, :, None],
+       np.arange(B)[None, None, :], sp] = 1
+    seqs = (f(T, 2, B, 4 * H), f(T, 2, B, 4 * H), f(T, 2, B, 3 * H),
+            jnp.asarray(qm))
+    consts = (f(2, 3 * H, 4 * H), f(2, 4 * H), f(2, 3 * H, 4 * H),
+              f(2, 4 * H), f(2, H, 3 * H), f(2, 3 * H), f(2, H), f(2, H))
+
+    out = lsthm_onlysp_recurrence_bidir(seqs, consts, interpret=True)
+
+    init = tuple(jnp.zeros((2, B, H)) for _ in range(5)) + (
+        jnp.zeros((2, B, 2, H)),)
+    _, ys = jax.lax.scan(
+        lambda c, xs: jax.vmap(_eval_step, in_axes=(0, 0, 0))(consts, c, xs),
+        init, seqs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ys),
+                               rtol=1e-5, atol=1e-5)
