@@ -37,8 +37,16 @@ def _load_ref(name):
             def forward(self, x):
                 return x
 
+        def trunc_normal_(t, std=1.0, **kw):
+            import torch
+
+            with torch.no_grad():
+                t.normal_(0.0, std)
+            return t
+
         layers.DropPath = DropPath
         layers.to_2tuple = lambda v: v if isinstance(v, tuple) else (v, v)
+        layers.trunc_normal_ = trunc_normal_
         sys.modules["timm"] = timm
         sys.modules["timm.models"] = models
         sys.modules["timm.models.layers"] = layers
