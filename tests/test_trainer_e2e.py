@@ -27,7 +27,10 @@ def trained(loaders, tmp_path_factory):
         res_csv_path=str(tmp_path_factory.mktemp("res") / "res.csv"),
     )
     losses = []
-    for epoch in range(1, 9):
+    # 12 epochs: enough margin that the above-chance assertion is robust to
+    # dropout RNG-stream changes (8 epochs once landed at 29.3% vs the 30%
+    # bar after an RNG-backend switch)
+    for epoch in range(1, 13):
         lr, loss = trainer.train_network(epoch, train_loader)
         losses.append(loss)
     return trainer, losses, test_loader
