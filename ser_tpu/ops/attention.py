@@ -32,6 +32,7 @@ import functools
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ser_tpu.ops import init as tinit
 from ser_tpu.ops.layers import Dropout, TorchLayerNorm, dropout
@@ -83,6 +84,99 @@ def rank1_cross_attention(
     if deterministic or attn_dropout == 0.0:
         rng = None
     return _rank1_fused(x1, x2, wq, wk, rng, float(attn_dropout))
+
+
+def _rank1_parts(x1, x2, wq, wk, rng, attn_dropout):
+    """Shared forward math for the custom-VJP path. Must regenerate the
+    dropout mask bit-identically to ``_rank1_fused_impl`` (same unsafe_rbg
+    construction from the same step key)."""
+    D = x1.shape[-1]
+    scale = 1.0 / (D ** 0.5)
+    s = jnp.matmul(x2, wq) * scale  # [B]
+    alpha = x1 * s[:, None]  # [B, D]
+    m = jnp.where(alpha > 0, alpha * jnp.max(wk), alpha * jnp.min(wk))
+    e = jnp.exp(alpha[:, :, None] * wk[None, None, :] - m[:, :, None])
+    den = jnp.sum(e, axis=-1)  # pre-dropout normalizer
+    if rng is not None:
+        keep = 1.0 - attn_dropout
+        rbg = jax.random.wrap_key_data(jnp.tile(rng, 2), impl="unsafe_rbg")
+        mask = jax.random.bernoulli(rbg, p=keep, shape=e.shape)
+        u = jnp.where(mask, e / keep, 0.0)
+    else:
+        u = e
+    num = jnp.sum(u * x2[:, None, :], axis=-1)
+    return s, alpha, e, u, den, num
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _rank1_fused_customvjp(x1, x2, wq, wk, rng, attn_dropout):
+    *_, den, num = _rank1_parts(x1, x2, wq, wk, rng, attn_dropout)
+    return num / den
+
+
+def _rank1_vjp_fwd(x1, x2, wq, wk, rng, attn_dropout):
+    *_, den, num = _rank1_parts(x1, x2, wq, wk, rng, attn_dropout)
+    return num / den, (x1, x2, wq, wk, rng)
+
+
+def _rank1_vjp_bwd(attn_dropout, res, g):
+    """Analytic backward. With logits L[b,i,k] = alpha[b,i]*wk[k] - m[b,i]
+    (m treated as constant, matching jax.nn.softmax), e = exp(L), u the
+    dropped e, den = sum_k e, out = (sum_k u*x2)/den:
+
+        de[b,i,k] = g/den * x2[b,k]*M/keep  -  g*out/den
+        dL = de*e ; dalpha = sum_k dL*wk ; dwk = sum_{b,i} dL*alpha
+
+    Everything reduces to five one-pass reductions over the recomputed e/u
+    (A2, A3 over k; B1, B2, B3 over i) — no [B, D, D] residual is ever
+    saved, and XLA fuses each pass like the forward."""
+    x1, x2, wq, wk, rng = res
+    D = x1.shape[-1]
+    scale = 1.0 / (D ** 0.5)
+    s, alpha, e, u, den, num = _rank1_parts(x1, x2, wq, wk, rng, attn_dropout)
+    out = num / den
+    gn = g / den
+    gd = -g * out / den
+
+    # Explicit multiply+sum (not einsum/matmul): these contractions have a
+    # [B, D, D] operand, and a dot would both route through the MXU at bf16
+    # default precision (1e-3 error vs the f32 autodiff) and materialize
+    # the operand; elementwise+reduce stays f32 on the VPU and fuses with
+    # the e/u recompute.
+    x2wk = x2 * wk[None, :]  # [B, D]
+    A2 = jnp.sum(u * x2wk[:, None, :], axis=-1)  # sum_k u*x2*wk -> [B, Di]
+    A3 = jnp.sum(e * wk[None, None, :], axis=-1)  # sum_k e*wk -> [B, Di]
+    dalpha = gn * A2 + gd * A3
+
+    B1 = jnp.sum(gn[:, :, None] * u, axis=1)  # [B, Dk]
+    B2 = jnp.sum((gn * alpha)[:, :, None] * u, axis=1)
+    B3 = jnp.sum((gd * alpha)[:, :, None] * e, axis=1)
+    dwk = jnp.sum(x2 * B2 + B3, axis=0)
+
+    dx1 = dalpha * s[:, None]
+    ds = jnp.sum(dalpha * x1, axis=-1)
+    dx2 = B1 + ds[:, None] * (scale * wq)[None, :]
+    dwq = scale * jnp.sum(ds[:, None] * x2, axis=0)
+    drng = None if rng is None else np.zeros(rng.shape, jax.dtypes.float0)
+    return dx1, dx2, dwq, dwk, drng
+
+
+_rank1_fused_customvjp.defvjp(_rank1_vjp_fwd, _rank1_vjp_bwd)
+
+
+def rank1_cross_attention_vjp(
+    x1, x2, wq, wk, attn_dropout=0.2, deterministic=True, rng=None
+):
+    """``rank1_cross_attention`` with the hand-written VJP backward.
+
+    Measured on v5e-1 (scripts/bench_attention_vjp.py): isolated fwd+bwd it
+    beats the production checkpoint+autodiff 51 vs 85 us/pass, but inside
+    the production 110-step scan it loses 11.6 vs 9.7 ms — XLA fuses the
+    rematerialized autodiff backward better in-scan. Kept opt-in as the
+    measured alternative; production uses ``rank1_cross_attention``."""
+    if deterministic or attn_dropout == 0.0:
+        rng = None
+    return _rank1_fused_customvjp(x1, x2, wq, wk, rng, float(attn_dropout))
 
 
 def rank1_cross_attention_naive(x1, x2, wq, wk):

@@ -37,9 +37,14 @@ BATCH_ARRAY_KEYS = (
 def _device_batch(batch, mesh=None):
     arrays = {k: jnp.asarray(batch[k]) for k in BATCH_ARRAY_KEYS if k in batch}
     if mesh is not None:
-        from ser_tpu.parallel.mesh import shard_batch
+        if "tp" in mesh.axis_names:
+            from ser_tpu.parallel.tp import shard_batch_2d
 
-        arrays = shard_batch(arrays, mesh)
+            arrays = shard_batch_2d(arrays, mesh)
+        else:
+            from ser_tpu.parallel.mesh import shard_batch
+
+            arrays = shard_batch(arrays, mesh)
     return arrays
 
 
@@ -102,7 +107,29 @@ class ModelTrainer:
         self.opt_state = self.tx.init(self.params)
         self.lr_at = step_lr(lr, lr_decay, test_step)
 
-        if mesh is not None:
+        if mesh is not None and "tp" in mesh.axis_names:
+            # 2-D (dp, tp) mesh (parallel/tp.py): batches sharded over 'dp',
+            # weights sharded output-feature-wise over 'tp'; XLA's SPMD
+            # partitioner inserts both the gradient psum over 'dp' and the
+            # tensor-parallel collectives over 'tp'.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ser_tpu.parallel.tp import param_shardings, shard_params
+
+            self.params = shard_params(self.params, mesh)
+            self.opt_state = shard_params(self.opt_state, mesh)
+            replicated = NamedSharding(mesh, P())
+            self._train_step = jax.jit(
+                self._train_step_impl,
+                donate_argnums=(0, 1),
+                out_shardings=(
+                    param_shardings(self.params, mesh),
+                    param_shardings(self.opt_state, mesh),
+                    replicated,
+                ),
+            )
+            self._eval_step = jax.jit(self._eval_step_impl)
+        elif mesh is not None:
             # Data parallelism over dialogues (SURVEY §5.8): parameters and
             # optimizer state replicated, batches sharded over the 'dp' axis;
             # XLA's SPMD partitioner inserts the gradient all-reduce (psum)

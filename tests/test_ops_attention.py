@@ -88,3 +88,36 @@ def test_cross_attention_seq_ln_residual():
     # LayerNorm output: zero mean / unit variance per row at ones-init scale
     o = np.asarray(out)
     np.testing.assert_allclose(o.mean(-1), 0.0, atol=1e-4)
+
+
+def test_rank1_custom_vjp_grads_match_autodiff():
+    """The opt-in hand-written VJP (measured alternative, see its docstring)
+    must produce the same grads as checkpoint+autodiff — eval mode and train
+    mode (same step key -> bit-identical dropout mask)."""
+    from ser_tpu.ops.attention import (
+        _rank1_fused, rank1_cross_attention_vjp)
+
+    rng = np.random.default_rng(4)
+    B, D = 5, 64
+    x1 = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    x2 = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    wq = jnp.asarray((1 + 0.1 * rng.standard_normal(D)).astype(np.float32))
+    wk = jnp.asarray((1 + 0.1 * rng.standard_normal(D)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+
+    for train in (False, True):
+        r = key if train else None
+
+        def loss_ref(x1, x2, wq, wk):
+            return jnp.sum(jnp.sin(_rank1_fused(x1, x2, wq, wk, r, 0.2)))
+
+        def loss_new(x1, x2, wq, wk):
+            return jnp.sum(jnp.sin(rank1_cross_attention_vjp(
+                x1, x2, wq, wk, 0.2, not train, r)))
+
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x1, x2, wq, wk)
+        gn = jax.grad(loss_new, argnums=(0, 1, 2, 3))(x1, x2, wq, wk)
+        for a, b, name in zip(gr, gn, ("x1", "x2", "wq", "wk")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6,
+                err_msg=f"train={train} d{name}")

@@ -70,7 +70,22 @@ def main(args):
     )
 
     mesh = None
-    if args.dp:
+    if args.tp > 1:
+        import jax
+
+        from ser_tpu.parallel.tp import make_mesh_2d
+
+        n = len(jax.devices())
+        if n % args.tp:
+            raise SystemExit(f"--tp {args.tp} does not divide {n} devices")
+        n_dp = n // args.tp
+        if args.batch_size % max(n_dp, 1):
+            raise SystemExit(
+                f"--tp {args.tp} needs batch_size divisible by {n_dp} "
+                "data-parallel ways")
+        mesh = make_mesh_2d(n_dp, args.tp)
+        print(f"2-D mesh: dp={n_dp} x tp={args.tp}")
+    elif args.dp:
         import jax
 
         from ser_tpu.parallel.mesh import make_mesh
@@ -168,6 +183,9 @@ def parser_args(argv=None):
                         help="generate synthetic IEMOCAP-shaped data")
     parser.add_argument("--dp", action="store_true",
                         help="data-parallel over all visible devices")
+    parser.add_argument("--tp", type=int, default=1,
+                        help="tensor-parallel ways on a 2-D (dp, tp) mesh "
+                             "(weights sharded over 'tp'; devices = dp*tp)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise on first NaN (jax_debug_nans)")
     parser.add_argument("--torch_format", action="store_true",
