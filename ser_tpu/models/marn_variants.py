@@ -845,135 +845,150 @@ class MARNCellSPS(nn.Module):
         K_a = jnp.concatenate([Ua, Va, Sa], axis=0)
         b_a = bUa + bVa + bSa
 
+        # Per-party LSTMCell weights stacked on a party axis so both cells
+        # run as ONE batched matmul inside the scan (the TPU executes ops
+        # serially; halving per-step op count matters more than op size
+        # at these shapes).
+        qWih = jnp.stack([q0Wih, q1Wih])  # [2, H, 4H]
+        qbih = jnp.stack([q0bih, q1bih])  # [2, 4H]
+        qWhh = jnp.stack([q0Whh, q1Whh])
+        qbhh = jnp.stack([q0bhh, q1bhh])
+
+        # The compaction permutation depends only on qmask — hoist the
+        # argmax/argsort for ALL steps out of the scan (per-step sorts on
+        # the scan's critical path were the sps variant's whole throughput
+        # gap vs onlysp).
+        order0, order1, n0, n1 = _sps_orders(qmask)
+
         if mode == "gather":
-            return ((xl_proj, xa_proj, qmask),
-                    (K_l, b_l, K_a, b_a, q0Wih, q0bih, q0Whh, q0bhh,
-                     q1Wih, q1bih, q1Whh, q1bhh, wq, wk))
+            return ((xl_proj, xa_proj, qmask, order0, order1, n0, n1),
+                    (K_l, b_l, K_a, b_a, qWih, qbih, qWhh, qbhh, wq, wk))
 
-        keys = _dropout_keys(self, deterministic, L, 5)
+        keys = _dropout_keys(self, deterministic, L, 4)
         slots = jnp.arange(B)
-
-        def compact(q, idx, party):
-            """Zero-padded compaction: rows whose speaker == party, in batch
-            order, moved to the front; selected memory is q[row, party]."""
-            is_p = (idx == party)
-            n_p = jnp.sum(is_p.astype(jnp.int32))
-            order = jnp.argsort(jnp.where(is_p, 0, 1), stable=True)
-            sel = q[order, party]  # [B, D], party rows first
-            valid = (slots < n_p)[:, None].astype(q.dtype)
-            return sel * valid, n_p, order
 
         def step(carry, xs):
             (h_l, c_l, h_a, c_a, h_q0, c_q0, h_q1, c_q1, z, q) = carry
-            xlp, xap, qm, key = xs
+            xlp, xap, qm, ord0, ord1, np0, np1, key = xs
             ks = None if deterministic else key
 
-            idx = jnp.argmax(qm, axis=1)
-            q0_sel, n0, _ = compact(q, idx, 0)
-            q1_sel, n1, _ = compact(q, idx, 1)
+            # Zero-padded compaction: rows whose speaker == party, in batch
+            # order, moved to the front; selected memory is q[row, party].
+            q_sel = jnp.stack([q[ord0, 0], q[ord1, 1]])  # [2, B, H]
+            n = jnp.stack([np0, np1])  # [2]
+            q_sel = q_sel * (slots[None, :] < n[:, None])[..., None].astype(
+                q.dtype)
 
-            # per-party LSTMCell over the compacted buffers; when a party has
+            # both parties' LSTMCells in one batched step; when a party has
             # no speakers this step, its carry is left untouched (the
             # reference skips the cell call entirely).
-            nh0, nc0 = lstm_step(jnp.matmul(q0_sel, q0Wih) + q0bih,
-                                 h_q0, c_q0, q0Whh, q0bhh)
-            nh0 = dropout(nh0, self.dropout_rate, deterministic,
-                          None if deterministic else ks[0])
-            h_q0 = jnp.where(n0 > 0, nh0, h_q0)
-            c_q0 = jnp.where(n0 > 0, nc0, c_q0)
-            nh1, nc1 = lstm_step(jnp.matmul(q1_sel, q1Wih) + q1bih,
-                                 h_q1, c_q1, q1Whh, q1bhh)
-            nh1 = dropout(nh1, self.dropout_rate, deterministic,
-                          None if deterministic else ks[1])
-            h_q1 = jnp.where(n1 > 0, nh1, h_q1)
-            c_q1 = jnp.where(n1 > 0, nc1, c_q1)
+            h_q = jnp.stack([h_q0, h_q1])
+            c_q = jnp.stack([c_q0, c_q1])
+            nh, nc = lstm_step(
+                jnp.matmul(q_sel, qWih) + qbih[:, None, :],
+                h_q, c_q, qWhh, qbhh[:, None, :])
+            nh = dropout(nh, self.dropout_rate, deterministic,
+                         None if deterministic else ks[0])
+            alive = (n > 0)[:, None, None]
+            h_qs = jnp.where(alive, nh, h_q)
+            c_qs = jnp.where(alive, nc, c_q)
+            h_q0, c_q0 = h_qs[0], c_qs[0]
+            h_q1, c_q1 = h_qs[1], c_qs[1]
 
             # h_q = cat([h_q0[:N0], h_q1[:N1]]); h_0 likewise — slot k takes
             # h_q0[k] if k < N0 else h_q1[k - N0]. (Degenerate N0==0 /
             # N1==0 branches collapse into the same formula.)
-            take0 = (slots < n0)[:, None]
-            gather1 = jnp.clip(slots - n0, 0, B - 1)
+            take0 = (slots < np0)[:, None]
+            gather1 = jnp.clip(slots - np0, 0, B - 1)
             h_q = jnp.where(take0, h_q0, h_q1[gather1])
-            h_0 = jnp.where(take0, q0_sel, q1_sel[gather1])
+            h_0 = jnp.where(take0, q_sel[0], q_sel[1][gather1])
             q = _broadcast_scatter(h_0, h_q, qm)
 
             sums_l = xlp + jnp.matmul(
                 jnp.concatenate([h_l, z, h_q], axis=-1), K_l) + b_l
             c_l, h_l = lsthm_gates(sums_l, c_l)
             h_l = dropout(h_l, self.dropout_rate, deterministic,
-                          None if deterministic else ks[2])
+                          None if deterministic else ks[1])
             sums_a = xap + jnp.matmul(
                 jnp.concatenate([h_a, z, h_q], axis=-1), K_a) + b_a
             c_a, h_a = lsthm_gates(sums_a, c_a)
             h_a = dropout(h_a, self.dropout_rate, deterministic,
-                          None if deterministic else ks[3])
+                          None if deterministic else ks[2])
 
             z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, deterministic,
-                                      None if deterministic else ks[4])
+                                      None if deterministic else ks[3])
             y = jnp.concatenate([h_l, h_a, z, h_q], axis=-1)
             return (h_l, c_l, h_a, c_a, h_q0, c_q0, h_q1, c_q1, z, q), y
 
         z0 = jnp.zeros((B, H), x_l.dtype)
         init = (z0, z0, z0, z0, z0, z0, z0, z0, z0,
                 jnp.zeros((B, P, H), x_l.dtype))
-        _, h = jax.lax.scan(step, init, (xl_proj, xa_proj, qmask, keys))
+        _, h = jax.lax.scan(
+            step, init,
+            (xl_proj, xa_proj, qmask, order0, order1, n0, n1, keys))
         return h
 
 
+def _sps_orders(qmask):
+    """Hoisted sps compaction indices for all steps (depend only on qmask):
+    per-party stable-argsort permutations [L, B] and party counts [L]."""
+    idx = jnp.argmax(qmask, axis=2)  # [L, B]
+    is0 = idx == 0
+    order0 = jnp.argsort(jnp.where(is0, 0, 1), axis=1, stable=True)
+    order1 = jnp.argsort(jnp.where(is0, 1, 0), axis=1, stable=True)
+    n0 = jnp.sum(is0.astype(jnp.int32), axis=1)
+    n1 = qmask.shape[1] - n0
+    return order0, order1, n0, n1
+
+
 def _sps_step(consts, carry, xs, dropout_rate, training):
-    """Pure sps recurrence step incl. per-party compaction (vmappable)."""
-    (K_l, b_l, K_a, b_a, q0Wih, q0bih, q0Whh, q0bhh,
-     q1Wih, q1bih, q1Whh, q1bhh, wq, wk) = consts
+    """Pure sps recurrence step (vmappable). The compaction permutations
+    arrive precomputed (``_sps_orders``) and the two party LSTMCells run as
+    one batched matmul — nothing on the critical path sorts or branches."""
+    (K_l, b_l, K_a, b_a, qWih, qbih, qWhh, qbhh, wq, wk) = consts
     h_l, c_l, h_a, c_a, h_q0, c_q0, h_q1, c_q1, z, q = carry
     if training:
-        xlp, xap, qm, key = xs
-        ks = jax.random.split(key, 5)
+        xlp, xap, qm, ord0, ord1, n0, n1, key = xs
+        ks = jax.random.split(key, 4)
         det = False
     else:
-        xlp, xap, qm = xs
-        ks = [None] * 5
+        xlp, xap, qm, ord0, ord1, n0, n1 = xs
+        ks = [None] * 4
         det = True
 
     B = q.shape[0]
     slots = jnp.arange(B)
-    idx = jnp.argmax(qm, axis=1)
 
-    def compact(party):
-        is_p = (idx == party)
-        n_p = jnp.sum(is_p.astype(jnp.int32))
-        order = jnp.argsort(jnp.where(is_p, 0, 1), stable=True)
-        sel = q[order, party]
-        valid = (slots < n_p)[:, None].astype(q.dtype)
-        return sel * valid, n_p
+    q_sel = jnp.stack([q[ord0, 0], q[ord1, 1]])  # [2, B, H]
+    n = jnp.stack([n0, n1])
+    q_sel = q_sel * (slots[None, :] < n[:, None])[..., None].astype(q.dtype)
 
-    q0_sel, n0 = compact(0)
-    q1_sel, n1 = compact(1)
-
-    nh0, nc0 = lstm_step(jnp.matmul(q0_sel, q0Wih) + q0bih,
-                         h_q0, c_q0, q0Whh, q0bhh)
-    nh0 = dropout(nh0, dropout_rate, det, ks[0])
-    h_q0 = jnp.where(n0 > 0, nh0, h_q0)
-    c_q0 = jnp.where(n0 > 0, nc0, c_q0)
-    nh1, nc1 = lstm_step(jnp.matmul(q1_sel, q1Wih) + q1bih,
-                         h_q1, c_q1, q1Whh, q1bhh)
-    nh1 = dropout(nh1, dropout_rate, det, ks[1])
-    h_q1 = jnp.where(n1 > 0, nh1, h_q1)
-    c_q1 = jnp.where(n1 > 0, nc1, c_q1)
+    h_q = jnp.stack([h_q0, h_q1])
+    c_q = jnp.stack([c_q0, c_q1])
+    nh, nc = lstm_step(
+        jnp.matmul(q_sel, qWih) + qbih[:, None, :],
+        h_q, c_q, qWhh, qbhh[:, None, :])
+    nh = dropout(nh, dropout_rate, det, ks[0])
+    alive = (n > 0)[:, None, None]
+    h_qs = jnp.where(alive, nh, h_q)
+    c_qs = jnp.where(alive, nc, c_q)
+    h_q0, c_q0 = h_qs[0], c_qs[0]
+    h_q1, c_q1 = h_qs[1], c_qs[1]
 
     take0 = (slots < n0)[:, None]
     gather1 = jnp.clip(slots - n0, 0, B - 1)
     h_q = jnp.where(take0, h_q0, h_q1[gather1])
-    h_0 = jnp.where(take0, q0_sel, q1_sel[gather1])
+    h_0 = jnp.where(take0, q_sel[0], q_sel[1][gather1])
     q = _broadcast_scatter(h_0, h_q, qm)
 
     sums_l = xlp + jnp.matmul(jnp.concatenate([h_l, z, h_q], -1), K_l) + b_l
     c_l, h_l = lsthm_gates(sums_l, c_l)
-    h_l = dropout(h_l, dropout_rate, det, ks[2])
+    h_l = dropout(h_l, dropout_rate, det, ks[1])
     sums_a = xap + jnp.matmul(jnp.concatenate([h_a, z, h_q], -1), K_a) + b_a
     c_a, h_a = lsthm_gates(sums_a, c_a)
-    h_a = dropout(h_a, dropout_rate, det, ks[3])
+    h_a = dropout(h_a, dropout_rate, det, ks[2])
 
-    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, det, ks[4])
+    z = rank1_cross_attention(c_l, c_a, wq, wk, 0.2, det, ks[3])
     y = jnp.concatenate([h_l, h_a, z, h_q], axis=-1)
     return (h_l, c_l, h_a, c_a, h_q0, c_q0, h_q1, c_q1, z, q), y
 
