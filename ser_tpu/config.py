@@ -24,6 +24,24 @@ from dataclasses import asdict, dataclass
 # ---------------------------------------------------------------------------
 SCAN_REMAT = "full"  # "full" | "dots" | "none"
 
+# ---------------------------------------------------------------------------
+# DialogueRNN P==2 party-cell fast path: run p_cell/l_cell only on the rows
+# the qmask mix keeps (B rows each) instead of all B*P rows. The halved
+# matmul only buys time once B*P spills past one 128-row MXU tile; below
+# that both shapes take the same MXU pass and the extra select ops lose.
+# Measured (v5e-1, scripts/profile_drnn.py): eval B=31 generic wins
+# (3.69 vs 3.96 ms); train B=80 fast wins (54.2 vs 60.5 ms, -10.5%).
+#   "auto": engage when B * P > 128 | True / False: force (tests)
+# ---------------------------------------------------------------------------
+DRNN_FAST2 = "auto"
+
+
+def drnn_fast2(B, P):
+    """Static (trace-time) decision for the DialogueRNN P==2 fast path."""
+    if DRNN_FAST2 == "auto":
+        return P == 2 and B * P > 128
+    return bool(DRNN_FAST2) and P == 2
+
 
 def scan_remat(step_fn):
     """Apply the configured remat policy to a scan step function."""

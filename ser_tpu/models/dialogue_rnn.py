@@ -11,7 +11,10 @@ TPU-first changes (math-preserving):
   softmax over the valid prefix is identical;
 - the per-step ``matchatt`` pooling loop over the whole sequence
   (``DialogueRNN.py:260-268``) becomes one batched einsum over [L, L];
-- party-parallel GRUs (p_cell/l_cell on B*P rows) stay batched matmuls.
+- party-parallel GRUs (p_cell/l_cell on B*P rows) stay batched matmuls;
+  for the P=2 case only the rows the qmask mix actually keeps are computed
+  (one p-GRU row + one l-GRU row per batch element, half the rows), with
+  the speaker index hoisted out of the scan.
 """
 
 from __future__ import annotations
@@ -80,6 +83,16 @@ class DialogueRNNScan(nn.Module):
         else:
             raise ValueError(
                 f"unknown context_attention: {self.context_attention}")
+        from ser_tpu import config
+
+        if config.drnn_fast2(B, P):
+            # P==2 fast path (see _drnn_step): the re-derived speaker
+            # one-hot depends only on qmask — hoist it for all steps out
+            # of the scan. argmax matches torch's all-zero-row -> party-0
+            # pick; kept dense (one-hot, not indices) because TPU row
+            # gathers on the scan's critical path lose to VPU mask ops.
+            seqs["sp1"] = jax.nn.one_hot(
+                jnp.argmax(qmask, axis=2), P, dtype=U.dtype)
 
         if mode == "gather":
             # expose hoisted projections + kernels so BiModel can run both
@@ -130,7 +143,12 @@ def _drnn_step(consts, carry, xs, listener_state, context_attention,
     deterministic = not training
     ks = jax.random.split(xs["key"], 4) if training else [None] * 4
 
-    q0_sel = select_parties(q, qm)
+    fast2 = "sp1" in xs  # P==2: run party cells only on their kept rows
+    if fast2:
+        sp1 = xs["sp1"]  # [B, P] re-derived speaker one-hot
+        q0_sel = jnp.einsum("bp,bpd->bd", sp1, q)  # == select_parties
+    else:
+        q0_sel = select_parties(q, qm)
     g_ = gru_step(xs["g_x"] + jnp.matmul(q0_sel, consts["gWih_q"]),
                   g_prev, consts["gWhh"], consts["gbhh"])
     g_ = dropout(g_, dropout_rate, deterministic, ks[0])
@@ -148,27 +166,60 @@ def _drnn_step(consts, carry, xs, listener_state, context_attention,
 
     g_hist = jax.lax.dynamic_update_slice_in_dim(g_hist, g_[None], t, axis=0)
 
-    # party GRU on B*P rows with identical input per party
     p_in = xs["p_x"] + jnp.matmul(c_, consts["pWih_c"])  # [B, 3*D_p]
-    p_in_p = jnp.broadcast_to(p_in[:, None, :], (B, P) + p_in.shape[1:])
-    qs_ = gru_step(p_in_p.reshape(B * P, -1), q.reshape(B * P, D_p),
-                   consts["pWhh"], consts["pbhh"]).reshape(B, P, D_p)
-    qs_ = dropout(qs_, dropout_rate, deterministic, ks[1])
-
-    if listener_state:
-        ss_ = select_parties(qs_, qm)  # speaker's new state
-        l_in = xs["l_x"] + jnp.matmul(ss_, consts["lWih_s"])
-        l_in_p = jnp.broadcast_to(l_in[:, None, :], (B, P) + l_in.shape[1:])
-        ql_ = gru_step(l_in_p.reshape(B * P, -1), q.reshape(B * P, D_p),
-                       consts["lWhh"], consts["lbhh"]).reshape(B, P, D_p)
-        ql_ = dropout(ql_, dropout_rate, deterministic, ks[2])
+    if fast2:
+        # The reference updates ALL B*P party rows with p_cell (and l_cell)
+        # and then keeps only the speaker row of qs_ / the listener rows of
+        # ql_ via the qmask mix (ref ``DialogueRNN.py:139-152``). With two
+        # parties the kept rows are exactly one p-GRU row and one l-GRU row
+        # per batch element — run each cell only on its kept row, halving
+        # the recurrent matmul rows on the scan's critical path.
+        #   select_parties(qs_, qm) == qs_[b, s] == the p-update of q[b, s]
+        # (including all-zero qmask rows, where argmax picks party 0), so
+        # ss_ is the computed row itself.
+        # Deviation (documented in PARITY.md): at all-zero-qmask steps with
+        # listener_state the reference l-updates every party, while this
+        # path p-updates row s=0 and l-updates row 1. Padding is a suffix
+        # in every loader (torch pad_sequence semantics), so those rows are
+        # never read by a valid step; their outputs stay finite and are
+        # masked from loss/metrics and parity comparisons.
+        lis1 = 1.0 - sp1
+        q_lis = jnp.einsum("bp,bpd->bd", lis1, q)
+        qs_row = gru_step(p_in, q0_sel, consts["pWhh"], consts["pbhh"])
+        qs_row = dropout(qs_row, dropout_rate, deterministic, ks[1])
+        if listener_state:
+            l_in = xs["l_x"] + jnp.matmul(qs_row, consts["lWih_s"])
+            ql_row = gru_step(l_in, q_lis,
+                              consts["lWhh"], consts["lbhh"])
+            ql_row = dropout(ql_row, dropout_rate, deterministic, ks[2])
+        else:
+            ql_row = q_lis
+        q_ = (sp1[:, :, None] * qs_row[:, None, :]
+              + lis1[:, :, None] * ql_row[:, None, :])
+        e_sel = qs_row  # == select_parties(q_, qm)
     else:
-        ql_ = q
+        # party GRU on B*P rows with identical input per party
+        p_in_p = jnp.broadcast_to(p_in[:, None, :], (B, P) + p_in.shape[1:])
+        qs_ = gru_step(p_in_p.reshape(B * P, -1), q.reshape(B * P, D_p),
+                       consts["pWhh"], consts["pbhh"]).reshape(B, P, D_p)
+        qs_ = dropout(qs_, dropout_rate, deterministic, ks[1])
 
-    m = qm[:, :, None]
-    q_ = ql_ * (1.0 - m) + qs_ * m
+        if listener_state:
+            ss_ = select_parties(qs_, qm)  # speaker's new state
+            l_in = xs["l_x"] + jnp.matmul(ss_, consts["lWih_s"])
+            l_in_p = jnp.broadcast_to(
+                l_in[:, None, :], (B, P) + l_in.shape[1:])
+            ql_ = gru_step(l_in_p.reshape(B * P, -1), q.reshape(B * P, D_p),
+                           consts["lWhh"], consts["lbhh"]).reshape(B, P, D_p)
+            ql_ = dropout(ql_, dropout_rate, deterministic, ks[2])
+        else:
+            ql_ = q
+
+        m = qm[:, :, None]
+        q_ = ql_ * (1.0 - m) + qs_ * m
+        e_sel = select_parties(q_, qm)
     e_ = gru_step(
-        jnp.matmul(select_parties(q_, qm), consts["eWih"]) + consts["ebih"],
+        jnp.matmul(e_sel, consts["eWih"]) + consts["ebih"],
         e_prev, consts["eWhh"], consts["ebhh"])
     e_ = dropout(e_, dropout_rate, deterministic, ks[3])
 
