@@ -46,6 +46,16 @@ def bench_model(name, batch, n_utts, iters=20):
     float(lj(params, args[0], 1))
     compile_s = time.perf_counter() - t0
 
+    # Auto-scale the chained-iteration count so the timed window is at
+    # least ~150 ms: at iters=20 the fast models (<0.2 ms/pass) measure a
+    # ~4 ms window that is dominated by relay/dispatch noise and swings
+    # +-40% run to run (observed on MARN/BiLSTM), defeating the 20%
+    # regression gate this tool exists for.
+    t0 = time.perf_counter()
+    float(lj(params, args[0], iters + 1))
+    est = (time.perf_counter() - t0) / (iters + 1)
+    iters = max(iters, min(int(0.15 / max(est, 1e-7)), 2000))
+
     tl, ts = [], []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -115,14 +115,17 @@ def main(cases=None):
         "train-generic": ("train", 110, 80, False),
         "train-fast2": ("train", 110, 80, True),
     }
-    for name in (cases or all_cases):
-        shape_name, L, B, mode = all_cases[name]
-        config.DRNN_FAST2 = mode
-        te = eval_pass(L, B) if shape_name == "eval" else train_pass(L, B)
-        print(f"{shape_name:5s} L={L} B={B} "
-              f"{'fast2' if mode else 'generic':7s} {te*1e3:8.3f} ms",
-              flush=True)
-    config.DRNN_FAST2 = "auto"
+    try:
+        for name in (cases or all_cases):
+            shape_name, L, B, mode = all_cases[name]
+            config.DRNN_FAST2 = mode
+            te = (eval_pass(L, B) if shape_name == "eval"
+                  else train_pass(L, B))
+            print(f"{shape_name:5s} L={L} B={B} "
+                  f"{'fast2' if mode else 'generic':7s} {te*1e3:8.3f} ms",
+                  flush=True)
+    finally:
+        config.DRNN_FAST2 = "auto"
 
 
 if __name__ == "__main__":

@@ -77,10 +77,19 @@ def collate(items, pad_length=None, pad_batch=None, buckets=DEFAULT_BUCKETS):
         out["label"] = label
     out["vid"] = [it[9] for it in items] + [None] * (B - n)
     if len(items[0]) > 10:
-        # optional raw-audio field for the on-device MFCC front-end
-        T = items[0][10].shape[-1]
+        # optional raw-audio field for the on-device MFCC front-end.
+        # Dialogues may carry different sample lengths: pad to the batch
+        # max rounded up to a 2048-sample bucket (jit compiles once per
+        # bucket, not per batch), and emit per-dialogue sample counts so
+        # the front-end pools over real frames only (zero-padded tails
+        # would otherwise pollute the mean/std pooling with silence).
+        T = max(it[10].shape[-1] for it in items)
+        T = -(-T // 2048) * 2048
         wav = np.zeros((L, B, T), dtype=np.float32)
+        wav_len = np.zeros((B,), dtype=np.int32)
         for b, it in enumerate(items):
-            wav[: it[10].shape[0], b] = it[10]
+            wav[: it[10].shape[0], b, : it[10].shape[-1]] = it[10]
+            wav_len[b] = it[10].shape[-1]
         out["wav"] = wav
+        out["wav_len"] = wav_len
     return out

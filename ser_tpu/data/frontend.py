@@ -32,20 +32,37 @@ class MFCCFrontend:
                               hop=hop, n_mels=n_mels, n_mfcc=out_dim // 2)
         self.use_pallas = use_pallas
 
-    def __call__(self, wav):
+    def __call__(self, wav, wav_len=None):
         """wav: [L, B, T] (or [N, T]) padded waveforms; all-zero rows (batch
         padding) produce a constant, finite feature vector (std 0, mean
-        log-eps energy), which umask already neutralizes downstream."""
+        log-eps energy), which umask already neutralizes downstream.
+
+        wav_len: optional [B] per-dialogue sample counts (collate emits
+        them when dialogues carry different lengths). Pooling then covers
+        only the frames that fit inside the real samples, so sample-axis
+        zero padding cannot pollute the mean/std with silence."""
         squeeze = wav.ndim == 2
         if squeeze:
             wav = wav[None]
         L, B, T = wav.shape
         feats = mfcc(wav.reshape(L * B, T), self.cfg,
                      use_pallas=self.use_pallas)  # [L*B, F, n_mfcc]
-        mean = jnp.mean(feats, axis=1)
-        std = jnp.sqrt(
-            jnp.maximum(jnp.mean(jnp.square(feats - mean[:, None]), axis=1),
-                        0.0))
+        F = feats.shape[1]
+        if wav_len is None:
+            mean = jnp.mean(feats, axis=1)
+            var = jnp.mean(jnp.square(feats - mean[:, None]), axis=1)
+        else:
+            n_valid = jnp.maximum(
+                1 + (wav_len.astype(jnp.int32) - self.cfg.win_length)
+                // self.cfg.hop, 0)  # frames per dialogue, [B]
+            fmask = (jnp.arange(F)[None, :] < n_valid[:, None]).astype(
+                feats.dtype)  # [B, F]
+            fmask = jnp.tile(fmask, (L, 1))[:, :, None]  # [L*B, F, 1]
+            denom = jnp.maximum(jnp.sum(fmask, axis=1), 1.0)
+            mean = jnp.sum(feats * fmask, axis=1) / denom
+            var = jnp.sum(
+                jnp.square(feats - mean[:, None]) * fmask, axis=1) / denom
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
         out = jnp.concatenate([mean, std], axis=-1).reshape(
             L, B, self.out_dim)
         return out[0] if squeeze else out

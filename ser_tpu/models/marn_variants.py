@@ -933,11 +933,13 @@ def _sps_orders(qmask):
     """Hoisted sps compaction indices for all steps (depend only on qmask):
     per-party stable-argsort permutations [L, B] and party counts [L]."""
     idx = jnp.argmax(qmask, axis=2)  # [L, B]
-    is0 = idx == 0
+    is0, is1 = idx == 0, idx == 1
+    # parties >= 2 are excluded from BOTH compactions (the reference's
+    # ``_select_parties`` has no branch for them, ``lsthm_sps.py:241-246``)
     order0 = jnp.argsort(jnp.where(is0, 0, 1), axis=1, stable=True)
-    order1 = jnp.argsort(jnp.where(is0, 1, 0), axis=1, stable=True)
+    order1 = jnp.argsort(jnp.where(is1, 0, 1), axis=1, stable=True)
     n0 = jnp.sum(is0.astype(jnp.int32), axis=1)
-    n1 = qmask.shape[1] - n0
+    n1 = jnp.sum(is1.astype(jnp.int32), axis=1)
     return order0, order1, n0, n1
 
 
@@ -1267,24 +1269,24 @@ def register_variants(register, ModelSpec, marn1_inputs):
     register(ModelSpec(
         name="MARN1_sp",
         build=lambda n_classes, dataset: MARN1SP(n_classes=n_classes),
-        make_inputs=marn1_inputs))
+        make_inputs=marn1_inputs, feature_outputs=True))
     register(ModelSpec(
         name="MARN1_sps",
         build=lambda n_classes, dataset: MARN1SPS(n_classes=n_classes),
-        make_inputs=marn1_inputs))
+        make_inputs=marn1_inputs, feature_outputs=True))
     register(ModelSpec(
         name="MARN1_nsps",
         build=lambda n_classes, dataset: MARN1NSPS(n_classes=n_classes),
-        make_inputs=marn1_inputs))
+        make_inputs=marn1_inputs, feature_outputs=True))
     register(ModelSpec(
         name="MARN1_no_en",
         build=lambda n_classes, dataset: MARN1NSPS(
             n_classes=n_classes, use_text_encoder=False),
-        make_inputs=marn1_inputs))
+        make_inputs=marn1_inputs, feature_outputs=True))
     register(ModelSpec(
         name="MARN1_cf",
         build=lambda n_classes, dataset: MARN1CF(n_classes=n_classes),
-        make_inputs=marn1_inputs))
+        make_inputs=marn1_inputs, feature_outputs=True))
     register(ModelSpec(
         name="MARN1_mf",
         build=lambda n_classes, dataset: MARN1MF(n_classes=n_classes),

@@ -31,6 +31,11 @@ class ModelSpec:
     make_inputs: Callable  # (batch dict) -> tuple of arrays
     logp_layout: str = "bl"  # 'bl': [B*L, C] rows; 'tb': [L*B, C] rows
     extract_logp: Callable = _default_extract_logp  # model output -> [N, C]
+    # True iff the model returns (logp, feat, feat) with [L, B, D] modality
+    # feature sequences — the shape the reference's commented-out InfoNCE
+    # hook consumes (model_trainer.py:111-115). DialogueRNN's extra outputs
+    # are attention maps, not features, so it must stay False.
+    feature_outputs: bool = False
 
 
 _REGISTRY: dict[str, ModelSpec] = {}
@@ -85,6 +90,7 @@ def _register_all():
             name="MARN1_onlysp",
             build=lambda n_classes, dataset: MARN1OnlySP(n_classes=n_classes),
             make_inputs=_marn1_inputs,
+            feature_outputs=True,
         )
     )
     register(
@@ -92,6 +98,7 @@ def _register_all():
             name="MARN1_newz",
             build=lambda n_classes, dataset: MARN1NewZ(n_classes=6),
             make_inputs=_marn1_inputs,
+            feature_outputs=True,
         )
     )
     register(
@@ -99,6 +106,7 @@ def _register_all():
             name="BiLSTM",
             build=lambda n_classes, dataset: BiLSTM(n_classes=6),
             make_inputs=_marn1_inputs,
+            feature_outputs=True,
         )
     )
     register_variants(register, ModelSpec, _marn1_inputs)

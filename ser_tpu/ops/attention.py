@@ -65,8 +65,7 @@ def _rank1_fused_impl(x1, x2, wq, wk, rng, attn_dropout):
     return num / den
 
 
-_rank1_fused = functools.partial(
-    jax.checkpoint(_rank1_fused_impl, static_argnums=(5,)))
+_rank1_fused = jax.checkpoint(_rank1_fused_impl, static_argnums=(5,))
 
 
 def rank1_cross_attention(

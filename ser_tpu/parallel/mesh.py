@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TIME_MAJOR_KEYS = ("r1", "r2", "r3", "r4", "visuf", "acouf", "qmask", "wav")
-BATCH_MAJOR_KEYS = ("umask", "label")
+BATCH_MAJOR_KEYS = ("umask", "label", "wav_len")
 
 
 def initialize_distributed(coordinator_address=None, num_processes=None,

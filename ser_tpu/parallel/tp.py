@@ -18,9 +18,14 @@ Sharding rules (``param_spec``):
   evenly over the tp axis (output-feature / column parallelism — gate
   blocks of the fused ``[.., 4H]`` LSTHM kernels each stay whole on a
   device when tp | H);
-- biases ``[out]``: ``P('tp')`` under the same divisibility;
-- everything else (scalars, ones-init attention vectors, LayerNorm
-  params): replicated ``P()``.
+- 1-D vectors ``[out]``: ``P('tp')`` under the same divisibility. This
+  covers biases (matching their kernel's output sharding) and — because
+  the rules are shape-driven — also LayerNorm scales and ones-init
+  attention vectors of divisible length. That is mathematically sound
+  under SPMD (elementwise uses stay sharded; LN's feature reduction needs
+  a cross-shard collective whenever the *activations* are feature-sharded,
+  wherever the scale lives) and keeps the rule free of name special-cases.
+- everything else (scalars, odd-length vectors): replicated ``P()``.
 
 pp/sp/ep status: pipeline parallelism has no stage structure to cut at
 two LSTHM layers; sequence parallelism is unnecessary at L≈110 (the

@@ -30,7 +30,7 @@ from ser_tpu.train.optim import step_lr, torch_adam
 
 BATCH_ARRAY_KEYS = (
     "r1", "r2", "r3", "r4", "visuf", "acouf", "qmask", "umask", "label",
-    "wav",
+    "wav", "wav_len",
 )
 
 
@@ -85,6 +85,12 @@ class ModelTrainer:
         # (:111-115); infonce > 0 enables that commented formulation with
         # the given weight.
         self.infonce = float(infonce)
+        if self.infonce > 0 and not self.spec.feature_outputs:
+            # keep the reference's quiet-no-op contract for models without
+            # (logp, x_l, x_a) feature outputs — DialogueRNN's extra
+            # outputs are attention maps, azs/mf/la return logp only
+            print(f"[infonce] {model} has no modality-feature outputs; "
+                  f"the InfoNCE term is skipped")
 
         # Init params from a tiny synthetic batch (shapes don't affect param
         # shapes; any L/B works).
@@ -157,7 +163,8 @@ class ModelTrainer:
         if self.audio_frontend is not None and "wav" in batch:
             # on-device raw-audio front-end: compute the 100-d audio slot
             # inside the jitted step (fused MFCC kernel, ops/pallas/mfcc.py)
-            batch = dict(batch, acouf=self.audio_frontend(batch["wav"]))
+            batch = dict(batch, acouf=self.audio_frontend(
+                batch["wav"], batch.get("wav_len")))
         args = self.spec.make_inputs(batch)
         rngs = None if deterministic else {"dropout": rng}
         out = self.model.apply(
@@ -179,7 +186,7 @@ class ModelTrainer:
                                 raw=True)
             logp = self.spec.extract_logp(out)
             loss = masked_loss(logp, labels, umask, kind=self.loss_kind)
-            if self.infonce > 0 and isinstance(out, tuple) and len(out) >= 3:
+            if self.infonce > 0 and self.spec.feature_outputs:
                 # the reference's commented formulation
                 # (model_trainer.py:111-115): flatten the per-dialogue
                 # feature sequences, query/positive = out[1], negatives =

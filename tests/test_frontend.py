@@ -25,6 +25,44 @@ def test_frontend_pooling_matches_oracle():
     np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-5)
 
 
+def test_variable_length_wavs_collate_and_pool_masked():
+    """Dialogues with different sample lengths: collate pads the sample
+    axis to a 2048 bucket and emits wav_len; frame-masked pooling must
+    reproduce the unpadded features for the shorter dialogue exactly."""
+    import jax.numpy as jnp
+
+    from ser_tpu.data.collate import collate
+
+    rng = np.random.default_rng(1)
+    n_utt, d = 2, 4
+    T_short, T_long = 2400, 4000
+
+    def item(T):
+        # 10-field dataset tuple layout (r1..r4, visuf, acouf, qmask,
+        # umask, label, vid) + optional field 10 raw wav [n_utt, T]
+        fields = [rng.standard_normal((n_utt, 100)).astype(np.float32)
+                  for _ in range(6)]
+        fields.append(rng.standard_normal((n_utt, 2)).astype(np.float32))
+        return tuple(fields) + (
+            np.ones(n_utt, np.float32),
+            np.zeros(n_utt, np.int64),
+            "vid",
+            rng.standard_normal((n_utt, T)).astype(np.float32),
+        )
+
+    short, long_ = item(T_short), item(T_long)
+    batch = collate([short, long_], pad_length=n_utt, pad_batch=2)
+    assert batch["wav"].shape[-1] == 4096  # 4000 -> next 2048 bucket
+    np.testing.assert_array_equal(batch["wav_len"], [T_short, T_long])
+
+    fe = MFCCFrontend(out_dim=100, use_pallas=False)
+    pooled = np.asarray(fe(jnp.asarray(batch["wav"]),
+                           jnp.asarray(batch["wav_len"])))
+    # the short dialogue, unpadded, through the plain (unmasked) path
+    alone = np.asarray(fe(jnp.asarray(short[10])))
+    np.testing.assert_allclose(pooled[:, 0], alone, rtol=2e-4, atol=1e-5)
+
+
 def test_frontend_padding_rows_finite():
     import jax.numpy as jnp
 
