@@ -18,12 +18,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _key_str(p):
+    """One path entry -> string (DictKey .key, SequenceKey .idx,
+    GetAttrKey .name — optax states are namedtuples)."""
+    for attr in ("key", "idx", "name"):
+        if hasattr(p, attr):
+            return str(getattr(p, attr))
+    return str(p)
+
+
 def flatten_params(params, sep="/"):
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
-        name = sep.join(
-            p.key if hasattr(p, "key") else str(p.idx) for p in path
-        )
+        name = sep.join(_key_str(p) for p in path)
         flat[name] = np.asarray(leaf)
     return flat
 
@@ -34,12 +41,56 @@ def unflatten_into(params, flat, sep="/"):
     paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(params)
     new_leaves = []
     for path, leaf in paths_and_leaves:
-        name = sep.join(p.key if hasattr(p, "key") else str(p.idx) for p in path)
+        name = sep.join(_key_str(p) for p in path)
         if name in flat:
             new_leaves.append(jnp.asarray(flat[name], dtype=leaf.dtype))
         else:
             new_leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_train_state(path, params, opt_state, extra=None):
+    """Full-resume checkpoint: params + optimizer state + scalar extras
+    (epoch counter, dropout RNG key) in one .npz.
+
+    The reference never saves optimizer state (``model_trainer.py:170-171``
+    stores the model state dict only), so a resumed run restarts Adam's
+    moments from zero. This opt-in surface (``train.py --save_state /
+    --resume``) makes resumption exact: same params, same Adam m/v/count,
+    same LR schedule position, same dropout key stream.
+    """
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    flat = {"params/" + k: v for k, v in flatten_params(params).items()}
+    flat.update(
+        {"opt/" + k: v for k, v in flatten_params(opt_state).items()})
+    for k, v in (extra or {}).items():
+        flat["extra/" + k] = np.asarray(v)
+    buf = io.BytesIO()
+    np.savez(buf, **flat)
+    with open(path, "wb") as f:
+        f.write(buf.getvalue())
+
+
+def load_train_state(path, params, opt_state):
+    """Strict inverse of ``save_train_state`` (own format — no tolerant
+    semantics): returns (params, opt_state, extra_dict)."""
+    with np.load(path, allow_pickle=False) as z:
+        loaded = {k: z[k] for k in z.files}
+    p_flat = {k[len("params/"):]: v for k, v in loaded.items()
+              if k.startswith("params/")}
+    o_flat = {k[len("opt/"):]: v for k, v in loaded.items()
+              if k.startswith("opt/")}
+    extra = {k[len("extra/"):]: v for k, v in loaded.items()
+             if k.startswith("extra/")}
+    missing = set(flatten_params(params)) - set(p_flat)
+    if missing:
+        raise ValueError(f"train-state file missing params: {sorted(missing)[:5]}")
+    missing_o = set(flatten_params(opt_state)) - set(o_flat)
+    if missing_o:
+        raise ValueError(
+            f"train-state file missing optimizer leaves: {sorted(missing_o)[:5]}")
+    return (unflatten_into(params, p_flat),
+            unflatten_into(opt_state, o_flat), extra)
 
 
 def save_parameters_orbax(params, path):

@@ -275,6 +275,27 @@ class ModelTrainer:
     def save_parameters(self, path):
         ckpt.save_parameters(self.params, path)
 
+    def save_train_state(self, path, epoch):
+        """Exact-resume checkpoint: params + Adam m/v/count + epoch + the
+        dropout key stream position (reference saves params only)."""
+        ckpt.save_train_state(
+            path, self.params, self.opt_state,
+            {"epoch": int(epoch),
+             "rng": np.asarray(self.rng)})  # legacy uint32[2] key
+
+    def load_train_state(self, path):
+        """Restore an exact-resume checkpoint; returns the saved epoch."""
+        self.params, self.opt_state, extra = ckpt.load_train_state(
+            path, self.params, self.opt_state)
+        if self.mesh is not None:
+            from ser_tpu.parallel.mesh import replicate_params
+
+            self.params = replicate_params(self.params, self.mesh)
+            self.opt_state = replicate_params(self.opt_state, self.mesh)
+        if "rng" in extra:
+            self.rng = jnp.asarray(extra["rng"])
+        return int(extra.get("epoch", 0))
+
     def load_parameters(self, path, torch_format=False):
         if torch_format:
             # A reference-framework checkpoint (torch.save of the trainer's

@@ -115,15 +115,23 @@ def main(args):
         trainer.load_parameters(
             args.initial_model, torch_format=args.torch_format)
 
+    start_epoch = 0
+    if args.resume:
+        start_epoch = trainer.load_train_state(args.resume)
+        print(f"Train state {args.resume} resumed at epoch {start_epoch}!")
+
     fscores = []
     w_dic = defaultdict(list)
-    for epoch in range(1, args.epoch + 1):
+    for epoch in range(start_epoch + 1, args.epoch + 1):
         print("-" * 10, f"epoch {epoch} training", "-" * 10)
         lr, loss = trainer.train_network(epoch, train_loader)
         if epoch % args.test_step == 0:
             trainer.save_parameters(
                 args.model_save_path + "/model_%04d.model" % epoch
             )
+            if args.save_state:
+                trainer.save_train_state(
+                    args.model_save_path + "/last.state", epoch)
             acc, fscore, parame = trainer.eval_network(test_loader)
             # the reference's fusion-weight tracker is vestigial
             # (model_trainer.py:160-168 returns {}); we feed the same
@@ -188,6 +196,14 @@ def parser_args(argv=None):
                              "(weights sharded over 'tp'; devices = dp*tp)")
     parser.add_argument("--debug_nans", action="store_true",
                         help="raise on first NaN (jax_debug_nans)")
+    parser.add_argument("--save_state", action="store_true",
+                        help="also write model/last.state each test_step: "
+                             "params + Adam moments + epoch + RNG stream "
+                             "for exact resume (the reference saves params "
+                             "only)")
+    parser.add_argument("--resume", type=str, default="",
+                        help="path to a .state file from --save_state; "
+                             "continues the run exactly where it stopped")
     parser.add_argument("--torch_format", action="store_true",
                         help="--initial_model is a reference PyTorch "
                              ".model checkpoint (imported via ser_tpu.compat)")
