@@ -21,9 +21,14 @@ GOLDEN = {
              -1.6298325, -1.6480781, -1.8039771],
 }
 
+# DialogueRNN golden (CPU, seed 0/1, L=10, B=3): pins the recurrence +
+# matchatt math across refactors of the generic/fast2 paths (the fast2
+# equivalence test only compares the two paths against each other).
+GOLDEN_DRNN = {"sum": -322.61975, "abs_mean": 1.7923319}
 
-def _compute():
-    spec = get_model_spec("MARN1_onlysp")
+
+def _compute(model_name="MARN1_onlysp"):
+    spec = get_model_spec(model_name)
     model = spec.build(6, "IEMOCAP")
     batch = {k: jnp.asarray(v) for k, v in
              synthetic_batch(L=10, B=3, seed=0).items() if k != "vid"}
@@ -31,8 +36,8 @@ def _compute():
     key = jax.random.PRNGKey(1)
     params = model.init({"params": key, "dropout": key}, *args,
                         deterministic=True)["params"]
-    logp = model.apply({"params": params}, *args, deterministic=True)[0]
-    return np.asarray(logp)
+    out = model.apply({"params": params}, *args, deterministic=True)
+    return np.asarray(spec.extract_logp(out))
 
 
 def test_golden_logits():
@@ -42,9 +47,17 @@ def test_golden_logits():
     np.testing.assert_allclose(logp[0], GOLDEN["row0"], atol=2e-5)
 
 
+def test_golden_logits_dialogue_rnn():
+    logp = _compute("DialogueRNN")
+    assert abs(float(logp.sum()) - GOLDEN_DRNN["sum"]) < 2e-3
+    assert abs(float(np.abs(logp).mean()) - GOLDEN_DRNN["abs_mean"]) < 1e-4
+
+
 if __name__ == "__main__":
     # regenerate goldens
-    logp = _compute()
-    print("sum:", float(logp.sum()))
-    print("abs_mean:", float(np.abs(logp).mean()))
-    print("row0:", logp[0].tolist())
+    for name in ("MARN1_onlysp", "DialogueRNN"):
+        logp = _compute(name)
+        print(name, "sum:", float(logp.sum()))
+        print(name, "abs_mean:", float(np.abs(logp).mean()))
+        if name == "MARN1_onlysp":
+            print("row0:", logp[0].tolist())
