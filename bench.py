@@ -183,6 +183,18 @@ def main():
             baseline = json.load(f)
         vs_baseline = utts_per_sec / baseline["value"]
 
+    # regression check vs the committed per-model baseline (bench_zoo
+    # --save); ratio < 1 means this run is slower than last round's record
+    vs_zoo = None
+    zoo_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "baselines",
+        "zoo_r02.json")
+    if os.path.exists(zoo_path):
+        with open(zoo_path) as f:
+            zoo = json.load(f).get("models", {}).get("MARN1_onlysp")
+        if zoo:
+            vs_zoo = round(utts_per_sec / zoo["utterances_per_sec"], 3)
+
     print(
         json.dumps(
             {
@@ -199,6 +211,7 @@ def main():
                     "mfcc_frontend_utterances_per_sec": round(
                         fe_utts_per_sec, 1),
                     "mfcc_frontend_wav_seconds_per_utt": T_wav / 16000,
+                    "flagship_vs_zoo_baseline": vs_zoo,
                     "backend": jax.default_backend(),
                     "device": str(jax.devices()[0]),
                 },
