@@ -38,24 +38,30 @@ def main(argv=None):
                    choices=["test", "valid", "train"])
     p.add_argument("--res_csv", type=str, default="res.csv")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--audio_frontend", type=str, default="none",
+                   help="none / mfcc — compute the 100-d audio slot "
+                        "on-device from raw waveforms (mirrors train.py)")
     p.add_argument("--torch_format", action="store_true",
                    help="--initial_model is a reference PyTorch .model "
                         "checkpoint (imported via ser_tpu.compat)")
     args = p.parse_args(argv)
 
     seed_everything(args.seed)
+    use_frontend = args.audio_frontend not in (None, "", "none")
     if args.synthetic:
         import tempfile
 
         from ser_tpu.data.synthetic import generate_iemocap_pickles
 
         args.feature_path = generate_iemocap_pickles(
-            tempfile.mkdtemp(prefix="ser_tpu_predict_"), seed=args.seed)
+            tempfile.mkdtemp(prefix="ser_tpu_predict_"), seed=args.seed,
+            with_wav=use_frontend)
 
     train_loader, valid_loader, test_loader = get_loaders(
         args.feature_path, dataset=args.dataset, valid=0.2,
         batch_size=args.batch_size, n_classes=args.n_classes,
-        seed=args.seed, roberta_path=args.roberta_path)
+        seed=args.seed, roberta_path=args.roberta_path,
+        wav_path="auto" if use_frontend else None)
     loader = {"test": test_loader, "valid": valid_loader,
               "train": train_loader}[args.split]
 
