@@ -84,22 +84,46 @@ class PrefetchLoader:
 
         q = queue.Queue(maxsize=self.depth)
         stop = object()
+        abandoned = threading.Event()
 
         def worker():
+            # Exceptions are forwarded to the consumer (a swallowed
+            # mid-epoch failure would silently truncate the epoch); the
+            # abandoned flag keeps an early-exiting consumer from leaving
+            # this thread blocked in q.put forever.
             try:
                 for batch in self.loader:
-                    q.put(batch)
-            finally:
+                    while not abandoned.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 - forwarded, not hidden
+                while not abandoned.is_set():
+                    try:
+                        q.put((stop, e), timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] is stop:
+                    raise item[1]
+                yield item
+            t.join()
+        finally:
+            abandoned.set()
 
 
 def get_train_valid_indices(n, valid=0.1):

@@ -305,9 +305,10 @@ class MARN1OnlySP(nn.Module):
 
             L, B = x_l.shape[0], x_l.shape[1]
             P = qmask.shape[2]
+            Hl, Ha, Hs = cell_f.dh_l, cell_f.dh_a, cell_f.dh_s
             z2 = lambda *s: jnp.zeros((2,) + s, x_l.dtype)
-            init = (z2(B, 128), z2(B, 128), z2(B, 128), z2(B, 128),
-                    z2(B, 128), z2(B, P, 128))
+            init = (z2(B, Hl), z2(B, Hl), z2(B, Ha), z2(B, Ha),
+                    z2(B, Hl), z2(B, P, Hs))  # z = attention over c_l rows
 
             if deterministic:
                 def step(carry, xs):
@@ -316,8 +317,14 @@ class MARN1OnlySP(nn.Module):
             else:
                 keys = jax.random.split(self.make_rng("dropout"), (L, 2))
 
+                import functools
+
+                fn = functools.partial(
+                    _train_step_dir, dropout_rate=cell_f.dropout_rate,
+                    attn_dropout=cell_f.attn_dropout)
+
                 def raw_step(carry, xs):
-                    return jax.vmap(_train_step_dir, in_axes=(0, 0, 0))(
+                    return jax.vmap(fn, in_axes=(0, 0, 0))(
                         consts, carry, xs)
 
                 from ser_tpu import config

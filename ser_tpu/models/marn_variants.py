@@ -188,10 +188,11 @@ class MARN1SP(nn.Module):
         rev_x_l = reverse_seq(x_l, umask)
         rev_x_a = reverse_seq(x_a, umask)
         rev_qmask = reverse_seq(qmask, umask)
+        cell_f = MARNCellSP(name="marn_cell_f")
         h_f, h_b = _fused_directions(
-            MARNCellSP(name="marn_cell_f"), MARNCellSP(name="marn_cell_b"),
+            cell_f, MARNCellSP(name="marn_cell_b"),
             (x_l, x_a, qmask), (rev_x_l, rev_x_a, rev_qmask),
-            functools.partial(_sp_step, dropout_rate=0.5),
+            functools.partial(_sp_step, dropout_rate=cell_f.dropout_rate),
             n_state=7, deterministic=deterministic,
             make_rng=lambda: self.make_rng("dropout"))
         h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
@@ -1022,12 +1023,13 @@ class MARN1SPS(nn.Module):
 
         import functools
 
+        cell_f = MARNCellSPS(name="marn_cell_f")
         h_f, h_b = _fused_directions(
-            MARNCellSPS(name="marn_cell_f"), MARNCellSPS(name="marn_cell_b"),
+            cell_f, MARNCellSPS(name="marn_cell_b"),
             (x_l, x_a, qmask),
             (reverse_seq(x_l, umask), reverse_seq(x_a, umask),
              reverse_seq(qmask, umask)),
-            functools.partial(_sps_step, dropout_rate=0.5),
+            functools.partial(_sps_step, dropout_rate=cell_f.dropout_rate),
             n_state=9, deterministic=deterministic,
             make_rng=lambda: self.make_rng("dropout"))
         h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
@@ -1226,11 +1228,12 @@ class MARN1NSPS(nn.Module):
         rev_x_l = reverse_seq(x_l, umask)
         rev_x_a = reverse_seq(x_a, umask)
         rev_qmask = reverse_seq(qmask, umask)
+        cell_f = MARNCellNSPS(name="marn_cell_f")
         (hf_l, hb_l), (hf_a, hb_a), _, _ = _fused_directions(
-            MARNCellNSPS(name="marn_cell_f"),
+            cell_f,
             MARNCellNSPS(name="marn_cell_b"),
             (xcat, x_l, x_a, qmask), (rev_x, rev_x_l, rev_x_a, rev_qmask),
-            functools.partial(_nsps_step, dropout_rate=0.5),
+            functools.partial(_nsps_step, dropout_rate=cell_f.dropout_rate),
             n_state=5, deterministic=deterministic,
             make_rng=lambda: self.make_rng("dropout"), qmask_idx=3)
         hf_l = drop(hf_l, deterministic)

@@ -238,6 +238,10 @@ class ModelTrainer:
             else:
                 labels.append(np.asarray(batch["label"]).reshape(-1))
                 masks.append(np.asarray(batch["umask"]).reshape(-1))
+        if not preds:
+            # empty loader (e.g. valid split rounds to zero dialogues) —
+            # report zero metrics instead of crashing the epoch loop
+            return 0.0, 0.0, {}
         preds = np.concatenate(preds)
         labels = np.concatenate(labels)
         masks = np.concatenate(masks)
@@ -288,10 +292,20 @@ class ModelTrainer:
         self.params, self.opt_state, extra = ckpt.load_train_state(
             path, self.params, self.opt_state)
         if self.mesh is not None:
-            from ser_tpu.parallel.mesh import replicate_params
+            # re-place with the SAME shardings __init__ chose — replicating
+            # on a (dp, tp) mesh would silently discard the tensor-parallel
+            # weight shardings and defeat buffer donation on every resumed
+            # step
+            if "tp" in self.mesh.axis_names:
+                from ser_tpu.parallel.tp import shard_params
 
-            self.params = replicate_params(self.params, self.mesh)
-            self.opt_state = replicate_params(self.opt_state, self.mesh)
+                self.params = shard_params(self.params, self.mesh)
+                self.opt_state = shard_params(self.opt_state, self.mesh)
+            else:
+                from ser_tpu.parallel.mesh import replicate_params
+
+                self.params = replicate_params(self.params, self.mesh)
+                self.opt_state = replicate_params(self.opt_state, self.mesh)
         if "rng" in extra:
             self.rng = jnp.asarray(extra["rng"])
         return int(extra.get("epoch", 0))

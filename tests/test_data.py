@@ -86,3 +86,69 @@ def test_synthetic_batch_shapes():
     valid = b["umask"].T.astype(bool)
     assert np.all(b["qmask"].sum(-1)[valid] == 1)
     assert np.all(b["qmask"].sum(-1)[~valid] == 0)
+
+
+def test_prefetch_loader_forwards_worker_exceptions():
+    """A mid-epoch loader failure must surface in the consumer, not
+    silently truncate the epoch (historic bug: the worker swallowed it)."""
+    import pytest
+
+    from ser_tpu.data.loaders import PrefetchLoader
+
+    class Boom:
+        def __iter__(self):
+            yield {"ok": 1}
+            raise RuntimeError("corrupt batch")
+
+        def __len__(self):
+            return 2
+
+        def num_examples(self):
+            return 2
+
+    got = []
+    with pytest.raises(RuntimeError, match="corrupt batch"):
+        for b in PrefetchLoader(Boom()):
+            got.append(b)
+    assert got == [{"ok": 1}]
+
+
+def test_prefetch_loader_abandoned_consumer_does_not_block_worker():
+    """Breaking out of iteration early must release the worker thread."""
+    import threading
+
+    from ser_tpu.data.loaders import PrefetchLoader
+
+    n_before = threading.active_count()
+    for _ in range(5):
+        for i, b in enumerate(PrefetchLoader(
+                iter_loader := _ListLoader([{"i": k} for k in range(50)]),
+                depth=1)):
+            if i == 1:
+                break
+    import time
+
+    time.sleep(0.5)  # workers should exit via the abandoned flag
+    assert threading.active_count() <= n_before + 1
+
+
+class _ListLoader:
+    def __init__(self, items):
+        self.items = items
+
+    def __iter__(self):
+        return iter(self.items)
+
+    def __len__(self):
+        return len(self.items)
+
+    def num_examples(self):
+        return len(self.items)
+
+
+def test_eval_network_empty_loader_returns_zero_metrics():
+    from ser_tpu.train.trainer import ModelTrainer
+
+    t = ModelTrainer(model="MARN1_onlysp", seed=1, res_csv_path=None)
+    acc, f1, extra = t.eval_network(_ListLoader([]), dump_csv=False)
+    assert (acc, f1, extra) == (0.0, 0.0, {})

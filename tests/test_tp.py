@@ -121,3 +121,24 @@ def test_tp_trainer_matches_single_device():
                     jax.tree_util.tree_leaves(p_t)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=2e-3)
+
+
+def test_tp_resume_preserves_weight_shardings(tmp_path):
+    """load_train_state on a (dp, tp) mesh must re-place restored leaves
+    with the tensor-parallel shardings __init__ chose — replicating them
+    would defeat donation and hold the full model per device."""
+    from jax.sharding import PartitionSpec as P
+
+    from ser_tpu.train.trainer import ModelTrainer
+
+    mesh = make_mesh_2d(2, 4, platform="cpu")
+    t = ModelTrainer(model="MARN1_onlysp", seed=7, res_csv_path=None,
+                     mesh=mesh)
+    path = str(tmp_path / "tp.state")
+    t.save_train_state(path, epoch=3)
+    assert t.load_train_state(path) == 3
+
+    specs = {leaf.sharding.spec
+             for leaf in jax.tree_util.tree_leaves(t.params)
+             if leaf.ndim == 2 and leaf.shape[1] % 4 == 0}
+    assert P(None, "tp") in specs
