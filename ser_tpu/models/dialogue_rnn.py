@@ -275,41 +275,24 @@ class BiModel(nn.Module):
         drop = Dropout(self.dropout, name="dropout_mod")
 
         # Both directions as ONE scan with a direction-vmapped step (the
-        # directions share no state until the concat below).
+        # directions share no state until the concat below). Scaffolding
+        # shared with the MARN1 family: marn_variants._fused_directions.
         import functools
+
+        from ser_tpu.models.marn_variants import _fused_directions
 
         rev_U = reverse_seq(U, umask)
         rev_qmask = reverse_seq(qmask, umask)
-        seqs_f, consts_f = rnn_f(U, qmask, deterministic, mode="gather")
-        seqs_b, consts_b = rnn_r(rev_U, rev_qmask, deterministic,
-                                 mode="gather")
-        seqs = jax.tree_util.tree_map(
-            lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
-        consts = jax.tree_util.tree_map(
-            lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
-
         L, B, P = U.shape[0], U.shape[1], qmask.shape[2]
-        training = not deterministic
-        if training:
-            seqs["key"] = jax.random.split(self.make_rng("dropout"), (L, 2))
-        fn = functools.partial(
-            _drnn_step, listener_state=self.listener_state,
-            context_attention=self.context_attention,
-            dropout_rate=self.dropout_rec, training=training)
-
-        def step(carry, xs):
-            return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
-
-        if training:
-            from ser_tpu import config
-
-            step = config.scan_remat(step)
-        init = jax.tree_util.tree_map(
-            lambda x: jnp.stack([x, x]),
-            _drnn_init(L, B, P, self.D_g, self.D_p, self.D_e, U.dtype))
-        _, (emotions2, alphas2) = jax.lax.scan(step, init, seqs)
-        emotions_f, emotions_b = emotions2[:, 0], emotions2[:, 1]
-        alpha_f, alpha_b = alphas2[:, 0], alphas2[:, 1]
+        (emotions_f, emotions_b), (alpha_f, alpha_b) = _fused_directions(
+            rnn_f, rnn_r, (U, qmask), (rev_U, rev_qmask),
+            functools.partial(
+                _drnn_step, listener_state=self.listener_state,
+                context_attention=self.context_attention,
+                dropout_rate=self.dropout_rec),
+            n_state=0, deterministic=deterministic,
+            make_rng=lambda: self.make_rng("dropout"), qmask_idx=1,
+            init=_drnn_init(L, B, P, self.D_g, self.D_p, self.D_e, U.dtype))
 
         emotions_f = drop_rec(emotions_f, deterministic)
         emotions_b = reverse_seq(emotions_b, umask)

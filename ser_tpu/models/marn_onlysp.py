@@ -220,6 +220,15 @@ def _eval_step(consts, carry, xs):
     return (h_l, c_l, h_a, c_a, z, q), y
 
 
+def _onlysp_step(consts, carry, xs, dropout_rate=0.5, attn_dropout=0.2,
+                 training=False):
+    """Dispatch for the fused-directions scaffolding: the train step's xs
+    carries a per-direction dropout key appended by _fused_directions."""
+    if training:
+        return _train_step_dir(consts, carry, xs, dropout_rate, attn_dropout)
+    return _eval_step(consts, carry, xs)
+
+
 def _train_step_dir(consts, carry, xs, dropout_rate=0.5, attn_dropout=0.2):
     """Training-mode onlysp step with per-direction dropout keys
     (vmappable over the direction axis like _eval_step)."""
@@ -294,46 +303,26 @@ class MARN1OnlySP(nn.Module):
             # direction axis and vmap the step over it. (At train time the
             # per-direction dropout keys ride along as scan inputs; the RNG
             # stream differs from the unfused path but is distributionally
-            # identical.)
-            seqs_f, consts_f = cell_f(x_l, x_a, qmask, True, mode="gather")
-            seqs_b, consts_b = cell_b(rev_x_l, rev_x_a, rev_qmask, True,
-                                      mode="gather")
-            seqs = jax.tree_util.tree_map(
-                lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
-            consts = jax.tree_util.tree_map(
-                lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
+            # identical.) Scaffolding shared with the whole MARN1 family:
+            # marn_variants._fused_directions.
+            import functools
 
-            L, B = x_l.shape[0], x_l.shape[1]
-            P = qmask.shape[2]
+            from ser_tpu.models.marn_variants import _fused_directions
+
+            B, P = x_l.shape[1], qmask.shape[2]
             Hl, Ha, Hs = cell_f.dh_l, cell_f.dh_a, cell_f.dh_s
-            z2 = lambda *s: jnp.zeros((2,) + s, x_l.dtype)
-            init = (z2(B, Hl), z2(B, Hl), z2(B, Ha), z2(B, Ha),
-                    z2(B, Hl), z2(B, P, Hs))  # z = attention over c_l rows
+            zb = lambda *s: jnp.zeros(s, x_l.dtype)
+            init = (zb(B, Hl), zb(B, Hl), zb(B, Ha), zb(B, Ha),
+                    zb(B, Hl), zb(B, P, Hs))  # z = attention over c_l rows
 
-            if deterministic:
-                def step(carry, xs):
-                    return jax.vmap(_eval_step, in_axes=(0, 0, 0))(
-                        consts, carry, xs)
-            else:
-                keys = jax.random.split(self.make_rng("dropout"), (L, 2))
-
-                import functools
-
-                fn = functools.partial(
-                    _train_step_dir, dropout_rate=cell_f.dropout_rate,
-                    attn_dropout=cell_f.attn_dropout)
-
-                def raw_step(carry, xs):
-                    return jax.vmap(fn, in_axes=(0, 0, 0))(
-                        consts, carry, xs)
-
-                from ser_tpu import config
-
-                step = config.scan_remat(raw_step)
-                seqs = seqs + (keys,)
-
-            _, ys = jax.lax.scan(step, init, seqs)  # [L, 2, B, 512]
-            h_f, h_b = ys[:, 0], ys[:, 1]
+            h_f, h_b = _fused_directions(
+                cell_f, cell_b,
+                (x_l, x_a, qmask), (rev_x_l, rev_x_a, rev_qmask),
+                functools.partial(
+                    _onlysp_step, dropout_rate=cell_f.dropout_rate,
+                    attn_dropout=cell_f.attn_dropout),
+                n_state=5, deterministic=deterministic,
+                make_rng=lambda: self.make_rng("dropout"), init=init)
         else:
             h_f = cell_f(x_l, x_a, qmask, deterministic)
             h_b = cell_b(rev_x_l, rev_x_a, rev_qmask, deterministic)

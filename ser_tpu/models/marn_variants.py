@@ -242,9 +242,17 @@ def _sp_step(consts, carry, xs, dropout_rate, training):
 
 
 def _fused_directions(cell_f, cell_b, inputs_f, inputs_b, step_fn,
-                      n_state, deterministic, make_rng=None, qmask_idx=2):
+                      n_state, deterministic, make_rng=None, qmask_idx=2,
+                      init=None, thread_keys=True):
     """Generic fwd+bwd fusion: gather both cells, stack on a direction axis,
-    run one scan with the step vmapped over it. Returns (ys_f, ys_b)."""
+    run one scan with the step vmapped over it. Returns (ys_f, ys_b).
+
+    ``init`` overrides the default carry (n_state [B, H] zeros + one
+    [B, P, H] buffer), given as the PER-DIRECTION pytree (stacked here),
+    or as a callable ``init(consts_f, B, P) -> pytree`` when the carry
+    dims must be read off the gathered constants (la's d_l states).
+    ``thread_keys=False`` is for dropout-free step fns (mf/la): no
+    ``training=`` partial and no per-step key appended to the scan xs."""
     import functools
 
     seqs_f, consts_f = cell_f(*inputs_f, deterministic, mode="gather")
@@ -257,15 +265,24 @@ def _fused_directions(cell_f, cell_b, inputs_f, inputs_b, step_fn,
     L = inputs_f[0].shape[0]
     B = inputs_f[0].shape[1]
     P = inputs_f[qmask_idx].shape[2]
-    H = consts_f[0].shape[1] // 4
     z2 = lambda *s: jnp.zeros((2,) + s, inputs_f[0].dtype)
-    init = tuple(z2(B, H) for _ in range(n_state)) + (z2(B, P, H),)
+    if init is None:
+        H = consts_f[0].shape[1] // 4
+        init = tuple(z2(B, H) for _ in range(n_state)) + (z2(B, P, H),)
+    else:
+        if callable(init):
+            init = init(consts_f, B, P)
+        init = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), init)
 
     training = not deterministic
-    fn = functools.partial(step_fn, training=training)
-    if training:
+    fn = (functools.partial(step_fn, training=training) if thread_keys
+          else step_fn)
+    if training and thread_keys:
         keys = jax.random.split(make_rng(), (L, 2))
-        seqs = seqs + (keys,)
+        if isinstance(seqs, dict):
+            seqs = {**seqs, "key": keys}
+        else:
+            seqs = seqs + (keys,)
 
     def step(carry, xs):
         return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
@@ -498,44 +515,21 @@ def _shared_lstm_step(consts, carry, xs, use_speaker_term, training=False):
 
 def _fused_shared_lstm(cell_f, cell_b, inputs_f, inputs_b, use_speaker_term,
                        emit_q, deterministic, make_rng=None):
-    """Run both cf/azs directions as one scan with a direction-vmapped step.
+    """Run both cf/azs directions as one scan with a direction-vmapped step
+    (thin wrapper over ``_fused_directions``; the shared-LSTMCell step
+    emits (h_l, h_a, z, q_affine) which is concatenated per direction).
     inputs_*: (x_l, x_a, qmask) per direction."""
     import functools
 
-    seqs_f, consts_f = cell_f(*inputs_f, deterministic, mode="gather")
-    seqs_b, consts_b = cell_b(*inputs_b, deterministic, mode="gather")
-    seqs = jax.tree_util.tree_map(
-        lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
-    consts = jax.tree_util.tree_map(
-        lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
-
-    L = inputs_f[0].shape[0]
-    B = inputs_f[0].shape[1]
-    P = inputs_f[2].shape[2]
-    H = consts_f[0].shape[1] // 4
-    z2 = lambda *s: jnp.zeros((2,) + s, inputs_f[0].dtype)
-    init = tuple(z2(B, H) for _ in range(7)) + (z2(B, P, H),)
-
-    training = not deterministic
-    fn = functools.partial(_shared_lstm_step,
-                           use_speaker_term=use_speaker_term,
-                           training=training)
-    if training:
-        seqs = seqs + (jax.random.split(make_rng(), (L, 2)),)
-
-    def step(carry, xs):
-        return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
-
-    if training:
-        from ser_tpu import config
-
-        step = config.scan_remat(step)
-    _, (h_l, h_a, z, q_affine) = jax.lax.scan(step, init, seqs)
-    if emit_q:
-        ys = jnp.concatenate([h_l, h_a, z, q_affine], axis=-1)
-    else:
-        ys = jnp.concatenate([h_l, h_a, z], axis=-1)
-    return ys[:, 0], ys[:, 1]  # h_f, h_b(reversed-time)
+    h_l, h_a, z, q_affine = _fused_directions(
+        cell_f, cell_b, inputs_f, inputs_b,
+        functools.partial(_shared_lstm_step,
+                          use_speaker_term=use_speaker_term),
+        n_state=7, deterministic=deterministic, make_rng=make_rng)
+    parts = [h_l, h_a, z] + ([q_affine] if emit_q else [])
+    h_f = jnp.concatenate([p[0] for p in parts], axis=-1)
+    h_b = jnp.concatenate([p[1] for p in parts], axis=-1)
+    return h_f, h_b  # h_b is reversed-time
 
 
 # =========================================================================
@@ -746,40 +740,31 @@ class _NoAttnBidir(nn.Module):
     def __call__(self, x, qmask, umask, deterministic: bool = True):
         rev_x = reverse_seq(x, umask)
         rev_qmask = reverse_seq(qmask, umask)
-        seqs_f, consts_f = self.cell_cls(name="marn_cell_f")(
-            x, qmask, deterministic, mode="gather")
-        seqs_b, consts_b = self.cell_cls(name="marn_cell_b")(
-            rev_x, rev_qmask, deterministic, mode="gather")
-        seqs = jax.tree_util.tree_map(
-            lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
-        consts = jax.tree_util.tree_map(
-            lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
-
-        B, P = x.shape[1], qmask.shape[2]
-        z2 = lambda *s: jnp.zeros((2,) + s, x.dtype)
         if self.cell_cls is MARNCellMF:
-            step_fn = _mf_step
-            H = consts_f[0].shape[1] // 4  # K_l: [2H, 4H]
-            init = tuple(z2(B, H) for _ in range(6)) + (z2(B, P, H),)
+            step_fn, la_init = _mf_step, None  # default init (6 H-states)
         else:
             step_fn = _la_step
-            d_l, H = consts_f[0].shape[0], consts_f[0].shape[1] // 4
-            init = (tuple(z2(B, H) for _ in range(6))
-                    + tuple(z2(B, d_l) for _ in range(4)) + (z2(B, P, H),))
 
-        def step(carry, xs):
-            return jax.vmap(step_fn, in_axes=(0, 0, 0))(consts, carry, xs)
+            def la_init(consts_f, B, P):
+                d_l, H = consts_f[0].shape[0], consts_f[0].shape[1] // 4
+                zb = lambda *s: jnp.zeros(s, x.dtype)
+                return (tuple(zb(B, H) for _ in range(6))
+                        + tuple(zb(B, d_l) for _ in range(4))
+                        + (zb(B, P, H),))
 
-        if not deterministic:
-            from ser_tpu import config
+        # mf/la steps are dropout-free inside the cell -> thread_keys=False
+        h_l, h_a = _fused_directions(
+            self.cell_cls(name="marn_cell_f"),
+            self.cell_cls(name="marn_cell_b"),
+            (x, qmask), (rev_x, rev_qmask), step_fn,
+            n_state=6, deterministic=deterministic, qmask_idx=1,
+            init=la_init, thread_keys=False)
 
-            step = config.scan_remat(step)
-        _, (h_l, h_a) = jax.lax.scan(step, init, seqs)
-        ys = jnp.concatenate([h_l, h_a], axis=-1)  # [L, 2, B, 2H]
-
-        h_f = Dropout(0.5, name="dropout_rec")(ys[:, 0], deterministic)
+        h_f = Dropout(0.5, name="dropout_rec")(
+            jnp.concatenate([h_l[0], h_a[0]], axis=-1), deterministic)
         h_b = Dropout(0.5, name="dropout_rec_b")(
-            reverse_seq(ys[:, 1], umask), deterministic)
+            reverse_seq(jnp.concatenate([h_l[1], h_a[1]], axis=-1), umask),
+            deterministic)
         h = jnp.concatenate([h_f, h_b], axis=-1)
         _ = TorchLinear(32, name="linear")(jnp.zeros((1, h.shape[-1])))
         logp = _logp_head(self, h, self.n_classes, deterministic=deterministic)
