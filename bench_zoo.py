@@ -51,6 +51,7 @@ def bench_model(name, batch, n_utts, iters=20):
     # ~4 ms window that is dominated by relay/dispatch noise and swings
     # +-40% run to run (observed on MARN/BiLSTM), defeating the 20%
     # regression gate this tool exists for.
+    float(lj(params, args[0], iters + 1))  # warm the new static k (retrace)
     t0 = time.perf_counter()
     float(lj(params, args[0], iters + 1))
     est = (time.perf_counter() - t0) / (iters + 1)
@@ -83,7 +84,11 @@ def main():
     p.add_argument("--save", type=str, default=None,
                    help="write results JSON (per-model baseline for rounds)")
     p.add_argument("--check", type=str, default=None,
-                   help="compare against a saved baseline; flag >20%% drops")
+                   help="compare against a saved baseline; flag >10%% drops")
+    p.add_argument("--check_threshold", type=float, default=0.9,
+                   help="fail --check below this ratio (0.9 = 10%% drop; "
+                        "PERF.md documents ±4–8%% host-load spread, so 0.9 "
+                        "catches real regressions while tolerating noise)")
     args = p.parse_args()
 
     batch, n_utts = iemocap_eval_batch()
@@ -113,9 +118,9 @@ def main():
                 continue
             ratio = res["utterances_per_sec"] / base[name][
                 "utterances_per_sec"]
-            flag = " REGRESSION" if ratio < 0.8 else ""
+            flag = " REGRESSION" if ratio < args.check_threshold else ""
             print(f"{name}: {ratio:.2f}x vs baseline{flag}")
-            if ratio < 0.8:
+            if ratio < args.check_threshold:
                 regressions.append(name)
         if regressions:
             raise SystemExit(f"throughput regressions: {regressions}")

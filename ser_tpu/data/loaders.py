@@ -31,6 +31,8 @@ class EpochLoader:
         pad_batch_to_full=True,
         buckets=DEFAULT_BUCKETS,
         max_length=None,
+        process_index=0,
+        process_count=1,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices, dtype=np.int64)
@@ -40,12 +42,39 @@ class EpochLoader:
         self.pad_batch_to_full = pad_batch_to_full
         self.buckets = buckets
         self.max_length = max_length
+        # Multi-host DP (SURVEY §5.8): every process builds the SAME global
+        # batch (same seed -> same shuffle -> same composition and length
+        # bucket as single-process math), then yields only its contiguous
+        # B/process_count rows; parallel.mesh.shard_batch reassembles the
+        # global array via jax.make_array_from_process_local_data. Dataset
+        # features live in host memory on every process (pickle-backed), so
+        # slicing after collate costs nothing and avoids any cross-process
+        # length/bucket coordination.
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by "
+                f"{process_count} processes")
+        if process_count > 1 and not pad_batch_to_full:
+            raise ValueError(
+                "multi-process loading requires pad_batch_to_full=True "
+                "(every process must emit equal-shaped local rows)")
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self):
         return int(np.ceil(len(self.indices) / self.batch_size))
 
     def num_examples(self):
         return len(self.indices)
+
+    def advance_epochs(self, n):
+        """Consume ``n`` epochs' worth of shuffle randomness without loading
+        data. --resume uses this so a run restarted at epoch N sees the same
+        batch order the uninterrupted run would have seen (each ``__iter__``
+        burns exactly one ``rng.shuffle`` of the index array)."""
+        for _ in range(int(n)):
+            if self.shuffle:
+                self.rng.shuffle(self.indices.copy())
 
     def __iter__(self):
         order = self.indices.copy()
@@ -55,12 +84,34 @@ class EpochLoader:
             chunk = order[start : start + self.batch_size]
             items = [self.dataset[int(i)] for i in chunk]
             pad_batch = self.batch_size if self.pad_batch_to_full else None
-            yield collate(
+            batch = collate(
                 items,
                 pad_length=self.max_length,
                 pad_batch=pad_batch,
                 buckets=self.buckets,
             )
+            if self.process_count > 1:
+                batch = self._local_rows(batch)
+            yield batch
+
+    def _local_rows(self, batch):
+        """Slice this process's contiguous rows out of a global batch.
+
+        The global umask/label are kept under ``*_global`` keys: device
+        arrays are assembled from the local rows, but host-side metric and
+        loss-weight bookkeeping needs the global view (eval predictions
+        come back fully replicated)."""
+        k = self.batch_size // self.process_count
+        lo = self.process_index * k
+        out = {"umask_global": batch["umask"], "label_global": batch["label"]}
+        for name, v in batch.items():
+            if name == "vid":
+                out[name] = v[lo:lo + k]
+            elif name in ("umask", "label", "wav_len"):  # batch-major
+                out[name] = v[lo:lo + k]
+            else:  # time-major [L, B, ...]
+                out[name] = v[:, lo:lo + k]
+        return out
 
 
 class PrefetchLoader:
@@ -77,6 +128,9 @@ class PrefetchLoader:
 
     def num_examples(self):
         return self.loader.num_examples()
+
+    def advance_epochs(self, n):
+        self.loader.advance_epochs(n)
 
     def __iter__(self):
         import queue
@@ -101,7 +155,16 @@ class PrefetchLoader:
                             continue
                     if abandoned.is_set():
                         return
-                q.put(stop)
+                # the stop sentinel needs the same abandoned-aware put: a
+                # consumer that breaks AFTER the loader is exhausted (queue
+                # still holding depth batches) would otherwise leave this
+                # thread blocked in a bare q.put forever
+                while not abandoned.is_set():
+                    try:
+                        q.put(stop, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
             except BaseException as e:  # noqa: BLE001 - forwarded, not hidden
                 while not abandoned.is_set():
                     try:

@@ -67,3 +67,59 @@ def test_exact_resume_roundtrip(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(a.opt_state),
                     jax.tree_util.tree_leaves(c.opt_state)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def _tiny_items(n=8, seed=0):
+    """In-memory 10-field dataset items at IEMOCAP feature dims, tiny T."""
+    rng = np.random.default_rng(seed)
+    items = []
+    for i in range(n):
+        T = int(rng.integers(3, 7))
+        fields = [rng.standard_normal((T, d)).astype(np.float32)
+                  for d in (1024, 1024, 1024, 1024, 512, 100)]
+        sp = rng.integers(0, 2, size=T)
+        qmask = np.eye(2, dtype=np.float32)[sp]
+        umask = np.ones(T, dtype=np.float32)
+        label = rng.integers(0, 6, size=T).astype(np.int64)
+        items.append((*fields, qmask, umask, label, f"d{i}"))
+    return items
+
+
+def test_exact_resume_with_shuffling_loader(tmp_path):
+    """The resumed run must also replay the LOADER's shuffle order: the
+    .state file restores params/Adam/dropout-RNG, and advance_epochs()
+    fast-forwards the loader's numpy Generator past the finished epochs
+    (without it, epoch 2 after resume would re-use the epoch-1 batch order
+    and diverge from the uninterrupted run)."""
+    from ser_tpu.data.loaders import EpochLoader
+
+    items = _tiny_items()
+
+    def make_loader():
+        return EpochLoader(items, np.arange(len(items)), batch_size=4,
+                           shuffle=True, seed=7)
+
+    def make():
+        return ModelTrainer(model="MARN1_onlysp", seed=123,
+                            res_csv_path=None)
+
+    a = make()
+    la = make_loader()
+    a.train_network(1, la)
+    a.train_network(2, la)
+
+    b = make()
+    lb = make_loader()
+    b.train_network(1, lb)
+    path = str(tmp_path / "last.state")
+    b.save_train_state(path, epoch=1)
+
+    c = make()
+    lc = make_loader()  # fresh Generator, as after a process restart
+    ep = c.load_train_state(path)
+    lc.advance_epochs(ep)  # what train.py --resume does
+    c.train_network(ep + 1, lc)
+
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(c.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
