@@ -35,6 +35,18 @@ SCAN_REMAT = "full"  # "full" | "dots" | "none"
 # ---------------------------------------------------------------------------
 DRNN_FAST2 = "auto"
 
+# ---------------------------------------------------------------------------
+# Pluggable encoder self-attention (CLI --encoder_attention). The reference
+# imports ExternalAttention into three model files (lsthm_sps.py:8,
+# lsthm_onlysp.py:8, lsthm_nsps.py:8) but never instantiates it — a
+# declared-but-dormant surface. Here the catalog is live: any name in
+# ops.encoder_attention.SEQUENCE_KINDS swaps the EncoderLayer's multi-head
+# self-attention for that catalog op (keeping the residual + dropout +
+# LayerNorm epilogue). "mha" = the reference's own MultiHeadAttention.
+# Set BEFORE building/initializing a model (it changes the param tree).
+# ---------------------------------------------------------------------------
+ENCODER_ATTENTION = "mha"
+
 
 def drnn_fast2(B, P):
     """Static (trace-time) decision for the DialogueRNN P==2 fast path."""

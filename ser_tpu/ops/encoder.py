@@ -99,15 +99,29 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, slf_attn_mask=None, deterministic: bool = True):
-        out, attn = MultiHeadAttention(
-            self.n_head,
-            self.d_model,
-            self.d_model,
-            self.d_k,
-            self.d_v,
-            self.dropout,
-            name="slf_attn",
-        )(x, x, x, mask=slf_attn_mask, deterministic=deterministic)
+        from ser_tpu import config
+
+        if config.ENCODER_ATTENTION != "mha":
+            # live attention-zoo surface (config.ENCODER_ATTENTION / CLI
+            # --encoder_attention): swap the MHA for a catalog sequence op
+            # with the same residual/LN epilogue; no attention map to return
+            from ser_tpu.ops.encoder_attention import ZooSelfAttention
+
+            out = ZooSelfAttention(
+                config.ENCODER_ATTENTION, self.d_model, self.dropout,
+                name="slf_attn",
+            )(x, deterministic=deterministic)
+            attn = None
+        else:
+            out, attn = MultiHeadAttention(
+                self.n_head,
+                self.d_model,
+                self.d_model,
+                self.d_k,
+                self.d_v,
+                self.dropout,
+                name="slf_attn",
+            )(x, x, x, mask=slf_attn_mask, deterministic=deterministic)
         out = PositionwiseFeedForward(
             self.d_model, self.d_inner, self.dropout, name="pos_ffn"
         )(out, deterministic=deterministic)

@@ -72,21 +72,76 @@ def batch_sharding(mesh, axis="dp"):
     return out
 
 
+def local_batch_slice(process_index=None, process_count=None):
+    """This process's contiguous row range [lo, hi) of a global batch of
+    ``B`` dialogues, as a function: size -> slice.
+
+    Multi-host data loading (SURVEY §5.8): every process shuffles with the
+    same seed (so the global batch composition matches single-process math
+    exactly), then loads only its own B/process_count rows. Rows are
+    contiguous and process-major, matching the device order of a mesh built
+    from ``jax.devices()`` (process 0's devices first), which is what
+    ``jax.make_array_from_process_local_data`` expects.
+    """
+    p = jax.process_index() if process_index is None else process_index
+    n = jax.process_count() if process_count is None else process_count
+
+    def slicer(batch_size):
+        if batch_size % n:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by "
+                f"{n} processes")
+        k = batch_size // n
+        return slice(p * k, (p + 1) * k)
+
+    return slicer
+
+
 def shard_batch(batch, mesh, axis="dp"):
     """Place a host batch onto the mesh, sharded over dialogues.
 
-    The batch dim must be divisible by the mesh size (collate pads to the
-    full batch size, so pick batch_size % n_devices == 0).
+    Single-process (one host sees every device): a plain sharded
+    ``device_put`` of the full batch. Multi-process (a real multi-host
+    slice, DCN between hosts): each process passes only its LOCAL rows
+    (see ``EpochLoader(process_index=..., process_count=...)``) and the
+    global array is assembled with
+    ``jax.make_array_from_process_local_data`` — no host ever materializes
+    or transfers the full batch.
+
+    The global batch dim must be divisible by the mesh size (collate pads
+    to the full batch size, so pick batch_size % n_devices == 0).
     """
     shardings = batch_sharding(mesh, axis)
-    return {
-        k: jax.device_put(v, shardings[k])
-        for k, v in batch.items()
-        if k in shardings
-    }
+    nproc = jax.process_count()
+    if nproc == 1:
+        return {
+            k: jax.device_put(v, shardings[k])
+            for k, v in batch.items()
+            if k in shardings
+        }
+    out = {}
+    for k, v in batch.items():
+        if k not in shardings:
+            continue
+        v = np.asarray(v)
+        gshape = list(v.shape)
+        bdim = 1 if k in TIME_MAJOR_KEYS else 0
+        gshape[bdim] *= nproc
+        out[k] = jax.make_array_from_process_local_data(
+            shardings[k], v, tuple(gshape))
+    return out
 
 
 def replicate_params(tree, mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Multi-process: every process holds identical host values (same seed ->
+    same init), so each contributes its full copy as its local shards.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), np.shape(x)),
+        tree)

@@ -134,7 +134,10 @@ class ModelTrainer:
                     replicated,
                 ),
             )
-            self._eval_step = jax.jit(self._eval_step_impl)
+            # predictions fully replicated so every process can fetch them
+            # (multi-host eval: np.asarray needs an addressable array)
+            self._eval_step = jax.jit(
+                self._eval_step_impl, out_shardings=replicated)
         elif mesh is not None:
             # Data parallelism over dialogues (SURVEY §5.8): parameters and
             # optimizer state replicated, batches sharded over the 'dp' axis;
@@ -152,7 +155,10 @@ class ModelTrainer:
                 donate_argnums=(0, 1),
                 out_shardings=(replicated, replicated, replicated),
             )
-            self._eval_step = jax.jit(self._eval_step_impl)
+            # predictions fully replicated so every process can fetch them
+            # (multi-host eval: np.asarray needs an addressable array)
+            self._eval_step = jax.jit(
+                self._eval_step_impl, out_shardings=replicated)
         else:
             self._train_step = jax.jit(
                 self._train_step_impl, donate_argnums=(0, 1))
@@ -220,7 +226,9 @@ class ModelTrainer:
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, dbatch, jnp.float32(lr), step_rng
             )
-            msum = float(np.sum(batch["umask"]))
+            # multi-process loaders carry the global mask separately (the
+            # device loss is already the global masked average)
+            msum = float(np.sum(batch.get("umask_global", batch["umask"])))
             losses.append(float(loss) * msum)
             mask_sums.append(msum)
         avg_loss = round(float(np.sum(losses) / np.sum(mask_sums)), 4)
@@ -232,12 +240,16 @@ class ModelTrainer:
             dbatch = _device_batch(batch, self.mesh)
             pred = np.asarray(self._eval_step(self.params, dbatch))
             preds.append(pred)
+            # predictions are global (replicated out_sharding); pair them
+            # with the global labels/masks on multi-process loaders
+            label = batch.get("label_global", batch["label"])
+            umask = batch.get("umask_global", batch["umask"])
             if self.spec.logp_layout == "tb":
-                labels.append(np.asarray(batch["label"]).T.reshape(-1))
-                masks.append(np.asarray(batch["umask"]).T.reshape(-1))
+                labels.append(np.asarray(label).T.reshape(-1))
+                masks.append(np.asarray(umask).T.reshape(-1))
             else:
-                labels.append(np.asarray(batch["label"]).reshape(-1))
-                masks.append(np.asarray(batch["umask"]).reshape(-1))
+                labels.append(np.asarray(label).reshape(-1))
+                masks.append(np.asarray(umask).reshape(-1))
         if not preds:
             # empty loader (e.g. valid split rounds to zero dialogues) —
             # report zero metrics instead of crashing the epoch loop
@@ -246,7 +258,7 @@ class ModelTrainer:
         labels = np.concatenate(labels)
         masks = np.concatenate(masks)
 
-        if dump_csv and self.res_csv_path:
+        if dump_csv and self.res_csv_path and jax.process_index() == 0:
             import pandas as pd
 
             pd.DataFrame(
@@ -309,6 +321,13 @@ class ModelTrainer:
         if "rng" in extra:
             self.rng = jnp.asarray(extra["rng"])
         return int(extra.get("epoch", 0))
+
+    def export_parameters_torch(self, path):
+        """Write current params as a reference-layout torch .model file
+        (the reverse of ``load_parameters(torch_format=True)``)."""
+        from ser_tpu.compat.torch_export import export_torch_checkpoint
+
+        export_torch_checkpoint(self.params, path, self.spec.name)
 
     def load_parameters(self, path, torch_format=False):
         if torch_format:

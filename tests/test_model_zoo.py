@@ -1,4 +1,8 @@
-"""Zoo-wide checks: every registered model inits, runs, and trains."""
+"""Zoo-wide checks: every registered model inits, runs, and trains.
+
+Marked slow (15 models x init/forward/backward compiles dominates the
+suite's wall-clock); the fast tier is ``pytest -m "not slow"``.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -8,6 +12,8 @@ import pytest
 from ser_tpu.data.synthetic import synthetic_batch
 from ser_tpu.models.registry import available_models, get_model_spec
 from ser_tpu.train.losses import masked_loss
+
+pytestmark = pytest.mark.slow
 
 L, B, C = 10, 3, 6
 

@@ -32,6 +32,13 @@ warnings.simplefilter("ignore")
 def main(args):
     seed_everything(args.seed)
 
+    if getattr(args, "encoder_attention", "mha") != "mha":
+        from ser_tpu import config
+
+        config.ENCODER_ATTENTION = args.encoder_attention
+        print(f"Encoder self-attention: {args.encoder_attention} "
+              "(attention-zoo surface)")
+
     if args.debug_nans:
         from ser_tpu.utils.profiling import enable_nan_checks
 
@@ -47,6 +54,25 @@ def main(args):
         args.feature_path = generate_iemocap_pickles(
             tmp, seed=args.seed, with_wav=use_frontend)
 
+    proc_kwargs = {}
+    if args.dp or args.tp > 1:
+        # multi-host bring-up (SURVEY §5.8): no-op on a single host; on a
+        # multi-host slice each process loads only its rows of every global
+        # batch (same-seed shuffle keeps batch composition identical to
+        # single-process math) and shard_batch assembles the global arrays
+        # via jax.make_array_from_process_local_data.
+        import jax
+
+        from ser_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed()
+        if jax.process_count() > 1:
+            proc_kwargs = dict(process_index=jax.process_index(),
+                               process_count=jax.process_count())
+            print(f"process {jax.process_index()}/{jax.process_count()}: "
+                  f"loading {args.batch_size // jax.process_count()} of "
+                  f"{args.batch_size} dialogues per batch")
+
     train_loader, valid_loader, test_loader = get_loaders(
         args.feature_path,
         dataset=args.dataset,
@@ -57,6 +83,7 @@ def main(args):
         seed=args.seed,
         roberta_path=args.roberta_path,
         wav_path="auto" if use_frontend else None,
+        **proc_kwargs,
     )
     if args.num_workers > 0:
         from ser_tpu.data.loaders import PrefetchLoader
@@ -105,6 +132,9 @@ def main(args):
         s = ModelTrainer(**vars(args))
         print("Model %s loaded from previous state!" % args.initial_model)
         s.load_parameters(args.initial_model, torch_format=args.torch_format)
+        if args.export_torch:
+            s.export_parameters_torch(args.export_torch)
+            print(f"Exported reference-format checkpoint: {args.export_torch}")
         acc, fscore, _ = s.eval_network(test_loader)
         print(f"Acc {acc:.2f}, Fscore {fscore:.2f}")
         return
@@ -118,6 +148,12 @@ def main(args):
     start_epoch = 0
     if args.resume:
         start_epoch = trainer.load_train_state(args.resume)
+        # replay the shuffle randomness the finished epochs consumed, so the
+        # resumed run sees the same batch order the uninterrupted run would
+        # (the .state file restores params/Adam/RNG but the loaders'
+        # numpy Generators are freshly seeded at construction)
+        train_loader.advance_epochs(start_epoch)
+        valid_loader.advance_epochs(start_epoch)
         print(f"Train state {args.resume} resumed at epoch {start_epoch}!")
 
     fscores = []
@@ -154,6 +190,10 @@ def main(args):
                 time.strftime("%Y-%m-%d %H:%M:%S") + f" —— {line}\n"
             )
             score_file.flush()
+
+    if args.export_torch:
+        trainer.export_parameters_torch(args.export_torch)
+        print(f"Exported reference-format checkpoint: {args.export_torch}")
 
     score_file.write("\n")
     score_file.close()
@@ -204,6 +244,10 @@ def parser_args(argv=None):
     parser.add_argument("--resume", type=str, default="",
                         help="path to a .state file from --save_state; "
                              "continues the run exactly where it stopped")
+    parser.add_argument("--export_torch", type=str, default="",
+                        help="after training (or after --eval load), also "
+                             "write the params as a reference-layout torch "
+                             ".model checkpoint the PyTorch stack can load")
     parser.add_argument("--torch_format", action="store_true",
                         help="--initial_model is a reference PyTorch "
                              ".model checkpoint (imported via ser_tpu.compat)")
@@ -211,6 +255,13 @@ def parser_args(argv=None):
                         help="weight of the InfoNCE auxiliary loss (the "
                              "reference's commented-out term, "
                              "model_trainer.py:111-115); 0 disables")
+    parser.add_argument("--encoder_attention", type=str, default="mha",
+                        help="swap the EncoderLayer's multi-head attention "
+                             "for an attention-zoo sequence op: mha / "
+                             "external / self / simplified_self / "
+                             "mobilevit_v2 / muse (the reference "
+                             "imports ExternalAttention but never wires it; "
+                             "here the catalog is live)")
     parser.add_argument("--audio_frontend", type=str, default="none",
                         help="none / mfcc — compute the 100-d audio slot "
                              "on-device from raw waveforms (fused MFCC "
