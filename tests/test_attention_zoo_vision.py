@@ -1,7 +1,12 @@
 """Vision-backbone attention tranche: weight-transfer oracles vs the actual
 vendored torch modules (imported standalone from /root/reference/attention:/).
-CoAtNet is shape-tested only — its vendored file imports a module
-(model/conv/MBConv.py) that does not exist anywhere in the reference tree."""
+
+CoAtNet's vendored file imports two modules absent from the reference tree
+(model/conv/MBConv.py and model/attention/SelfAttention.py). The oracle
+test stubs them — SelfAttention re-exported from the vendored
+attention:/SelfAttention.py, MBConvBlock as a torch stand-in implementing
+the standard EfficientNet block our port assumes — so the vendored
+CoAtNet.py itself runs as the reference for the weight transfer."""
 
 import os
 import sys
@@ -377,8 +382,7 @@ def test_axial_vs_vendored():
 
 
 def test_coatnet_shapes():
-    """CoAtNet's vendored file is unimportable (missing model/conv/MBConv);
-    our standard-MBConv rebuild is shape/finiteness-tested."""
+    """Reference-free smoke: our CoAtNet rebuild runs and is finite."""
     from ser_tpu.ops.attention_zoo_vision import CoAtNet
 
     x = jnp.asarray(np.random.default_rng(10).standard_normal(
@@ -388,3 +392,155 @@ def test_coatnet_shapes():
     out = mod.apply(params, x)
     assert out.shape[0] == 1 and out.shape[1] == 32
     assert np.isfinite(np.asarray(out)).all()
+
+
+def _shim_coatnet_imports():
+    """Make the vendored CoAtNet.py importable: provide the two modules it
+    imports from a 'model' package that exists nowhere in the tree
+    (``attention:/CoAtNet.py:6-7``).
+
+    - model.attention.SelfAttention: re-export of the vendored
+      attention:/SelfAttention.py (same class the collection ships).
+    - model.conv.MBConv.MBConvBlock: torch stand-in for the standard
+      EfficientNet MBConv block (expand -> depthwise+BN+swish -> SE ->
+      project+BN, residual on matching filters) — the block the public
+      External-Attention collection vendors from EfficientNet-PyTorch and
+      the one our flax port implements.
+    """
+    import torch
+    import torch.nn as tnn
+
+    class MBConvBlock(tnn.Module):
+        def __init__(self, ksize, input_filters, output_filters,
+                     image_size=None, expand_ratio=1, se_ratio=0.25):
+            super().__init__()
+            del image_size  # static same-padding == ksize//2 at stride 1
+            self.expand_ratio = expand_ratio
+            self.has_residual = input_filters == output_filters
+            mid = input_filters * expand_ratio
+            if expand_ratio != 1:
+                self._expand_conv = tnn.Conv2d(input_filters, mid, 1,
+                                               bias=False)
+                self._bn0 = tnn.BatchNorm2d(mid)
+            self._depthwise_conv = tnn.Conv2d(
+                mid, mid, ksize, padding=ksize // 2, groups=mid, bias=False)
+            self._bn1 = tnn.BatchNorm2d(mid)
+            se_c = max(1, int(input_filters * se_ratio))
+            self._se_reduce = tnn.Conv2d(mid, se_c, 1)
+            self._se_expand = tnn.Conv2d(se_c, mid, 1)
+            self._project_conv = tnn.Conv2d(mid, output_filters, 1,
+                                            bias=False)
+            self._bn2 = tnn.BatchNorm2d(output_filters)
+
+        def forward(self, x):
+            y = x
+            if self.expand_ratio != 1:
+                y = self._bn0(self._expand_conv(y))
+                y = y * torch.sigmoid(y)
+            y = self._bn1(self._depthwise_conv(y))
+            y = y * torch.sigmoid(y)
+            g = y.mean(dim=(2, 3), keepdim=True)
+            g = self._se_reduce(g)
+            g = g * torch.sigmoid(g)
+            y = y * torch.sigmoid(self._se_expand(g))
+            y = self._bn2(self._project_conv(y))
+            if self.has_residual:
+                y = y + x
+            return y
+
+    model_pkg = types.ModuleType("model")
+    conv_pkg = types.ModuleType("model.conv")
+    mbconv_mod = types.ModuleType("model.conv.MBConv")
+    mbconv_mod.MBConvBlock = MBConvBlock
+    att_pkg = types.ModuleType("model.attention")
+    sa_mod = types.ModuleType("model.attention.SelfAttention")
+    sa_mod.ScaledDotProductAttention = _load_ref(
+        "SelfAttention").ScaledDotProductAttention
+    for name, mod in (("model", model_pkg), ("model.conv", conv_pkg),
+                      ("model.conv.MBConv", mbconv_mod),
+                      ("model.attention", att_pkg),
+                      ("model.attention.SelfAttention", sa_mod)):
+        sys.modules[name] = mod
+
+
+def _mbconv_params(block):
+    """torch MBConv stand-in -> our flax MBConvBlock param dict."""
+    p = {"dw_kernel": _cw(block._depthwise_conv.weight),
+         "se_reduce_kernel": _cw(block._se_reduce.weight),
+         "se_reduce_bias": _a(block._se_reduce.bias),
+         "se_expand_kernel": _cw(block._se_expand.weight),
+         "se_expand_bias": _a(block._se_expand.bias),
+         "project_kernel": _cw(block._project_conv.weight)}
+    p.update(_bn("dw_bn", block._bn1))
+    p.update(_bn("project_bn", block._bn2))
+    if block.expand_ratio != 1:
+        p["expand_kernel"] = _cw(block._expand_conv.weight)
+        p.update(_bn("expand_bn", block._bn0))
+    return p
+
+
+def _sdpa_params(att):
+    return {f"fc_{n}_{w}": (_lw if w == "kernel" else _a)(
+        getattr(att, f"fc_{n}").weight if w == "kernel"
+        else getattr(att, f"fc_{n}").bias)
+        for n in ("q", "k", "v", "o") for w in ("kernel", "bias")}
+
+
+@ref_available
+def test_coatnet_vs_vendored():
+    """Weight-transfer oracle for the 37th catalog module: the vendored
+    CoAtNet.py runs with its missing imports stubbed (see
+    _shim_coatnet_imports) and our rebuild must match per element."""
+    import torch
+
+    _shim_coatnet_imports()
+    torch.manual_seed(21)
+    ref = _load_ref("CoAtNet").CoAtNet(3, 32, out_chs=[8, 12, 16, 24, 32])
+    # randomize BN running stats so the transfer actually pins the BN
+    # mapping (fresh stats are identity-ish)
+    gen = torch.Generator().manual_seed(7)
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0.0, 0.3, generator=gen)
+            m.running_var.uniform_(0.6, 1.6, generator=gen)
+    ref.eval()
+
+    params = {
+        "s0_0_kernel": _cw(ref.s0[0].weight), "s0_0_bias": _a(ref.s0[0].bias),
+        "s0_2_kernel": _cw(ref.s0[2].weight), "s0_2_bias": _a(ref.s0[2].bias),
+        "s1": _mbconv_params(ref.s1), "s2": _mbconv_params(ref.s2),
+        "s3": _sdpa_params(ref.s3), "s4": _sdpa_params(ref.s4),
+    }
+    for i in (0, 1, 2):
+        seq = getattr(ref, f"mlp{i}")
+        params[f"mlp{i}_0_kernel"] = _cw(seq[0].weight)
+        params[f"mlp{i}_0_bias"] = _a(seq[0].bias)
+        params[f"mlp{i}_2_kernel"] = _cw(seq[2].weight)
+        params[f"mlp{i}_2_bias"] = _a(seq[2].bias)
+    for i in (3, 4):
+        seq = getattr(ref, f"mlp{i}")
+        params[f"mlp{i}_0_kernel"] = _lw(seq[0].weight)
+        params[f"mlp{i}_0_bias"] = _a(seq[0].bias)
+        params[f"mlp{i}_2_kernel"] = _lw(seq[2].weight)
+        params[f"mlp{i}_2_bias"] = _a(seq[2].bias)
+
+    from ser_tpu.ops.attention_zoo_vision import CoAtNet
+
+    x = np.random.default_rng(11).standard_normal(
+        (2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.tensor(x))
+    mod = CoAtNet(in_ch=3, image_size=32, out_chs=(8, 12, 16, 24, 32))
+    # structural completeness: the transfer covers every init param
+    init = mod.init({"params": jax.random.PRNGKey(0)},
+                    jnp.asarray(x))["params"]
+    import jax.tree_util as jtu
+
+    init_names = {jtu.keystr(k) for k, _ in
+                  jtu.tree_flatten_with_path(init)[0]}
+    got_names = {jtu.keystr(k) for k, _ in
+                 jtu.tree_flatten_with_path(params)[0]}
+    assert init_names == got_names, (
+        sorted(init_names - got_names), sorted(got_names - init_names))
+    ours = _run(mod, params, jnp.asarray(x), deterministic=True)
+    _close(ours, theirs, rtol=2e-4, atol=2e-4)

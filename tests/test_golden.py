@@ -26,6 +26,25 @@ GOLDEN = {
 # equivalence test only compares the two paths against each other).
 GOLDEN_DRNN = {"sum": -322.61975, "abs_mean": 1.7923319}
 
+# The three remaining distinct output/recurrence shapes (any refactor of
+# the shared scaffolding — _fused_directions touches all 15 models — trips
+# one of these even when the flagship happens to survive):
+#   sps:  per-party dual-LSTM compaction + re-attention head, log-probs
+#   ATV:  time-major trimodal MARN, SOFTMAX-PROB rows (sum/abs_mean are
+#         shape-invariants 30 and 1/6 there — std + row0 carry the math)
+#   newz: unidirectional EMA z-update, raw-logit head
+GOLDEN_MORE = {
+    "MARN1_sps": {"sum": -333.01416, "std": 0.3413273,
+                  "row0": [-2.1827567, -2.0957849, -1.7608767,
+                           -1.5693736, -1.3767908, -2.0261726]},
+    "MARN_ATV": {"sum": 30.0, "std": 0.0164202,
+                 "row0": [0.152716, 0.1409864, 0.1658236,
+                          0.1809386, 0.1846417, 0.1748937]},
+    "MARN1_newz": {"sum": 0.49188, "std": 0.0931045,
+                   "row0": [-0.0663448, -0.147727, 0.0172506,
+                            0.0899341, 0.1054326, 0.0486565]},
+}
+
 
 def _compute(model_name="MARN1_onlysp"):
     spec = get_model_spec(model_name)
@@ -53,11 +72,23 @@ def test_golden_logits_dialogue_rnn():
     assert abs(float(np.abs(logp).mean()) - GOLDEN_DRNN["abs_mean"]) < 1e-4
 
 
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN_MORE))
+def test_golden_logits_variants(name):
+    g = GOLDEN_MORE[name]
+    logp = _compute(name)
+    assert abs(float(logp.sum()) - g["sum"]) < 2e-3
+    assert abs(float(logp.std()) - g["std"]) < 1e-4
+    np.testing.assert_allclose(logp[0], g["row0"], atol=2e-5)
+
+
 if __name__ == "__main__":
-    # regenerate goldens
-    for name in ("MARN1_onlysp", "DialogueRNN"):
+    # regenerate goldens: run on CPU! (python tests/test_golden.py)
+    for name in ("MARN1_onlysp", "DialogueRNN", *sorted(GOLDEN_MORE)):
         logp = _compute(name)
-        print(name, "sum:", float(logp.sum()))
-        print(name, "abs_mean:", float(np.abs(logp).mean()))
-        if name == "MARN1_onlysp":
-            print("row0:", logp[0].tolist())
+        print(name, "sum:", float(logp.sum()),
+              "abs_mean:", float(np.abs(logp).mean()),
+              "std:", float(logp.std()))
+        print("  row0:", [round(float(v), 7) for v in logp[0]])
