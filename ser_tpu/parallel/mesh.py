@@ -111,7 +111,15 @@ def shard_batch(batch, mesh, axis="dp"):
     The global batch dim must be divisible by the mesh size (collate pads
     to the full batch size, so pick batch_size % n_devices == 0).
     """
-    shardings = batch_sharding(mesh, axis)
+    return assemble_batch(batch, batch_sharding(mesh, axis))
+
+
+def assemble_batch(batch, shardings):
+    """Place a batch dict per ``shardings``. Single-process: sharded
+    device_put of the full arrays. Multi-process: each process passes its
+    LOCAL rows and the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (used by both the 1-D dp
+    and the 2-D (dp, tp) paths)."""
     nproc = jax.process_count()
     if nproc == 1:
         return {

@@ -67,11 +67,25 @@ def param_spec(leaf, n_tp):
 
 def shard_params(params, mesh):
     """Place a param pytree on the mesh per ``param_spec``; opt states and
-    other pytrees shard the same way (leaf shapes match params')."""
+    other pytrees shard the same way (leaf shapes match params').
+
+    Multi-process (multi-host slice): every process holds the full host
+    value (same-seed init), and ``jax.make_array_from_callback`` hands each
+    local device exactly its shard — ``device_put`` cannot target
+    non-addressable devices.
+    """
     n_tp = mesh.shape["tp"]
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(
-            x, NamedSharding(mesh, param_spec(x, n_tp))), params)
+    multiproc = jax.process_count() > 1
+
+    def place(x):
+        sharding = NamedSharding(mesh, param_spec(x, n_tp))
+        if not multiproc:
+            return jax.device_put(x, sharding)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(place, params)
 
 
 def param_shardings(params, mesh):
@@ -94,8 +108,10 @@ def batch_sharding_2d(mesh):
 
 
 def shard_batch_2d(batch, mesh):
-    shardings = batch_sharding_2d(mesh)
-    return {
-        k: jax.device_put(v, shardings[k])
-        for k, v in batch.items() if k in shardings
-    }
+    """Multi-process note: each process must pass its LOCAL dp rows (see
+    EpochLoader process sharding); contiguity with the (dp, tp) grid holds
+    when n_tp divides the per-process device count (process-major
+    jax.devices() order)."""
+    from ser_tpu.parallel.mesh import assemble_batch
+
+    return assemble_batch(batch, batch_sharding_2d(mesh))

@@ -229,17 +229,24 @@ class ModelTrainer:
             # multi-process loaders carry the global mask separately (the
             # device loss is already the global masked average)
             msum = float(np.sum(batch.get("umask_global", batch["umask"])))
-            losses.append(float(loss) * msum)
+            # keep the loss as a device array until the epoch ends: a
+            # float() here would sync the (expensive) relay round-trip per
+            # step and stall the dispatch pipeline
+            losses.append((loss, msum))
             mask_sums.append(msum)
-        avg_loss = round(float(np.sum(losses) / np.sum(mask_sums)), 4)
+        avg_loss = round(
+            float(np.sum([float(l) * m for l, m in losses])
+                  / np.sum(mask_sums)), 4)
         return lr, avg_loss
 
     def eval_network(self, loader, dump_csv=True):
         preds, labels, masks = [], [], []
         for batch in loader:
             dbatch = _device_batch(batch, self.mesh)
-            pred = np.asarray(self._eval_step(self.params, dbatch))
-            preds.append(pred)
+            # defer the device->host fetch to the end of the loop so batch
+            # dispatch pipelines (per-batch np.asarray would sync the relay
+            # round-trip every step)
+            preds.append(self._eval_step(self.params, dbatch))
             # predictions are global (replicated out_sharding); pair them
             # with the global labels/masks on multi-process loaders
             label = batch.get("label_global", batch["label"])

@@ -66,7 +66,19 @@ def run(process_index=0, process_count=1, mesh_devices=4, model="BiLSTM"):
     acc, f1, _ = trainer.eval_network(loader(False), dump_csv=False)
     digest = float(sum(np.abs(np.asarray(x)).sum()
                        for x in jax.tree_util.tree_leaves(trainer.params)))
-    return {"losses": losses, "acc": acc, "f1": f1, "digest": digest}
+
+    # multi-host TENSOR parallelism: one (dp=2, tp=2) train step with
+    # weights sharded over 'tp' across process boundaries (shard_params'
+    # make_array_from_callback path) — contiguous because n_tp (2) divides
+    # the per-process device count
+    from ser_tpu.parallel.tp import make_mesh_2d
+
+    mesh2 = make_mesh_2d(2, mesh_devices // 2)
+    tp_trainer = ModelTrainer(model=model, seed=123, res_csv_path=None,
+                              mesh=mesh2)
+    _, tp_loss = tp_trainer.train_network(1, loader(True))
+    return {"losses": losses, "acc": acc, "f1": f1, "digest": digest,
+            "tp_loss": tp_loss}
 
 
 def main():

@@ -121,6 +121,10 @@ def test_two_process_dp_matches_single_process(tmp_path):
     assert r0["losses"] == r1["losses"]
     assert r0["acc"] == r1["acc"] and r0["f1"] == r1["f1"]
     np.testing.assert_allclose(r0["digest"], r1["digest"], rtol=1e-6)
+    # multi-host tensor parallelism: the (dp=2, tp=2) step ran with weights
+    # sharded across process boundaries and agreed between processes
+    assert r0["tp_loss"] == r1["tp_loss"]
+    assert np.isfinite(r0["tp_loss"])
 
     # single-process reference on an identical 4-device mesh (this test
     # process has 8 virtual CPU devices via conftest). Collective summation
@@ -130,6 +134,7 @@ def test_two_process_dp_matches_single_process(tmp_path):
     ref = run(process_index=0, process_count=1, mesh_devices=4)
     np.testing.assert_allclose(r0["losses"][0], ref["losses"][0], rtol=1e-3)
     np.testing.assert_allclose(r0["digest"], ref["digest"], rtol=1e-2)
+    np.testing.assert_allclose(r0["tp_loss"], ref["tp_loss"], rtol=1e-3)
 
 
 def _free_port():

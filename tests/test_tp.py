@@ -33,9 +33,20 @@ def _build(model_name="MARN1_onlysp", L=12, B=8):
     return spec, model, params, batch, args
 
 
-def test_tp_eval_matches_unsharded():
+import pytest
+
+
+@pytest.mark.parametrize("model_name", [
+    # flagship + the shapes most at risk under the shape-rule shardings:
+    # nsps (LayerNorm'd seq attention + softmax-p fusion), sps (per-party
+    # compaction), DialogueRNN (GRU trio + matchatt, D=500 sharded 4-way),
+    # BiLSTM (cuDNN-layout bidirectional), MARN_ATV (time-major trimodal)
+    "MARN1_onlysp", "MARN1_nsps", "MARN1_sps", "DialogueRNN", "BiLSTM",
+    "MARN_ATV",
+])
+def test_tp_eval_matches_unsharded(model_name):
     mesh = make_mesh_2d(2, 4, platform="cpu")
-    spec, model, params, batch, args = _build()
+    spec, model, params, batch, args = _build(model_name)
 
     def forward(p, *a):
         out = model.apply({"params": p}, *a, deterministic=True)
