@@ -188,7 +188,7 @@ def main():
     vs_zoo = None
     zoo_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baselines",
-        "zoo_r02.json")
+        "zoo_r03.json")
     if os.path.exists(zoo_path):
         with open(zoo_path) as f:
             zoo = json.load(f).get("models", {}).get("MARN1_onlysp")
