@@ -49,6 +49,29 @@ def test_zoo_encoder_changes_the_math():
     assert not np.allclose(base, ext)
 
 
+def test_zoo_encoder_checkpoint_roundtrip(tmp_path):
+    """Params under a zoo encoder save/load through the standard
+    checkpoint path (different param tree than mha — names must agree
+    between two independently-built trainers)."""
+    import numpy as np
+
+    from ser_tpu.train.trainer import ModelTrainer
+
+    config.ENCODER_ATTENTION = "external"
+    a = ModelTrainer(model="MARN1_onlysp", seed=3, res_csv_path=None)
+    path = str(tmp_path / "zoo.model")
+    a.save_parameters(path)
+    b = ModelTrainer(model="MARN1_onlysp", seed=4, res_csv_path=None)
+    warnings = []
+    from ser_tpu.train import checkpoint as ckpt
+
+    b.params = ckpt.load_parameters(b.params, path, log=warnings.append)
+    assert not warnings, warnings
+    for x, y in zip(jax.tree_util.tree_leaves(a.params),
+                    jax.tree_util.tree_leaves(b.params)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_zoo_encoder_trains():
     """One train step under the external-attention encoder: finite loss,
     every zoo-op parameter receives gradient."""
