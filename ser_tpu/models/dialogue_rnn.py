@@ -131,6 +131,13 @@ def _drnn_init(L, B, P, D_g, D_p, D_e, dtype):
     )
 
 
+# Measurement-only switch (scripts/profile_drnn_att.py): replaces the
+# g_hist context attention with zeros to bound its cost (the [L, B, D_g]
+# history buffer is the step's dominant HBM traffic). Never set in
+# production; parity/golden tests run with it False.
+_ABLATE_CONTEXT_ATT = False
+
+
 def _drnn_step(consts, carry, xs, listener_state, context_attention,
                dropout_rate, training):
     """Pure DialogueRNN step (ref ``DialogueRNN.py:80-157``); vmappable over
@@ -154,15 +161,19 @@ def _drnn_step(consts, carry, xs, listener_state, context_attention,
     g_ = dropout(g_, dropout_rate, deterministic, ks[0])
 
     # attention over g_hist prefix (empty prefix -> zeros, alpha None)
-    if context_attention == "simple":
-        scores = jnp.einsum("jbd,dk->bj", g_hist, consts["attS"])
-    else:  # 'general' / 'general2' (bias folded into hoisted att_x)
-        scores = jnp.einsum("bd,jbd->bj", xs["att_x"], g_hist)
-    prefix = (jnp.arange(L)[None, :] < t)
-    alpha = jax.nn.softmax(jnp.where(prefix, scores, -1e9), axis=1)
-    c_ = jnp.einsum("bj,jbd->bd", alpha, g_hist)
-    c_ = jnp.where(t > 0, c_, 0.0)
-    alpha = jnp.where(t > 0, alpha, 0.0)
+    if _ABLATE_CONTEXT_ATT:
+        c_ = jnp.zeros_like(g_)
+        alpha = jnp.zeros((B, L), g_hist.dtype)
+    else:
+        if context_attention == "simple":
+            scores = jnp.einsum("jbd,dk->bj", g_hist, consts["attS"])
+        else:  # 'general' / 'general2' (bias folded into hoisted att_x)
+            scores = jnp.einsum("bd,jbd->bj", xs["att_x"], g_hist)
+        prefix = (jnp.arange(L)[None, :] < t)
+        alpha = jax.nn.softmax(jnp.where(prefix, scores, -1e9), axis=1)
+        c_ = jnp.einsum("bj,jbd->bd", alpha, g_hist)
+        c_ = jnp.where(t > 0, c_, 0.0)
+        alpha = jnp.where(t > 0, alpha, 0.0)
 
     g_hist = jax.lax.dynamic_update_slice_in_dim(g_hist, g_[None], t, axis=0)
 
