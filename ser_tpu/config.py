@@ -36,6 +36,19 @@ SCAN_REMAT = "full"  # "full" | "dots" | "none"
 DRNN_FAST2 = "auto"
 
 # ---------------------------------------------------------------------------
+# DialogueRNN chunked flash-style context attention (models/dialogue_rnn.py::
+# _drnn_chunk_step). The per-step scan reads the full [L, B, D_g] g_hist
+# buffer twice every step — measured 60% of the eval pass / 29% of a train
+# step (scripts/profile_drnn_att.py, v5e-1). Chunking the scan turns the
+# completed-chunk contribution into two per-chunk matmuls over g_hist
+# (traffic / C) merged with the within-chunk buffer by exact online-softmax.
+# Balance point: past traffic ~ 2·L²·B·D/C falls with C, within-chunk
+# ~ L·C·B·D grows with C -> C* ~ sqrt(2L) ~ 16 at L~110.
+#   "auto": chunk of 16 once L >= 32 | int: force chunk size | None: per-step
+# ---------------------------------------------------------------------------
+DRNN_CHUNK = "auto"
+
+# ---------------------------------------------------------------------------
 # Pluggable encoder self-attention (CLI --encoder_attention). The reference
 # imports ExternalAttention into three model files (lsthm_sps.py:8,
 # lsthm_onlysp.py:8, lsthm_nsps.py:8) but never instantiates it — a
@@ -53,6 +66,16 @@ def drnn_fast2(B, P):
     if DRNN_FAST2 == "auto":
         return P == 2 and B * P > 128
     return bool(DRNN_FAST2) and P == 2
+
+
+def drnn_chunk(L):
+    """Static (trace-time) chunk size for DialogueRNN's context attention
+    (None = per-step path)."""
+    if DRNN_CHUNK == "auto":
+        return 16 if L >= 32 else None
+    if DRNN_CHUNK and L >= 2 * DRNN_CHUNK:
+        return int(DRNN_CHUNK)
+    return None
 
 
 def scan_remat(step_fn):

@@ -137,28 +137,36 @@ def _drnn_init(L, B, P, D_g, D_p, D_e, dtype):
 # production; parity/golden tests run with it False.
 _ABLATE_CONTEXT_ATT = False
 
+# Measurement-only switch: zero the chunked path's alpha reconstruction to
+# check XLA DCEs it when the caller drops alphas. Never set in production.
+_SKIP_ALPHAS = False
+
+
+def _drnn_pre(consts, xs, q, g_prev, k0, dropout_rate, deterministic):
+    """Speaker select + global-state GRU (the step's pre-attention half)."""
+    if "sp1" in xs:
+        q0_sel = jnp.einsum("bp,bpd->bd", xs["sp1"], q)  # == select_parties
+    else:
+        q0_sel = select_parties(q, xs["qm"])
+    g_ = gru_step(xs["g_x"] + jnp.matmul(q0_sel, consts["gWih_q"]),
+                  g_prev, consts["gWhh"], consts["gbhh"])
+    g_ = dropout(g_, dropout_rate, deterministic, k0)
+    return g_, q0_sel
+
 
 def _drnn_step(consts, carry, xs, listener_state, context_attention,
                dropout_rate, training):
     """Pure DialogueRNN step (ref ``DialogueRNN.py:80-157``); vmappable over
     the direction axis. x-side GRU projections arrive hoisted via ``xs``."""
     q, e_prev, g_prev, g_hist, t = carry
-    u, qm = xs["u"], xs["qm"]
+    qm = xs["qm"]
     L = g_hist.shape[0]
-    B, P = qm.shape[0], qm.shape[1]
-    D_p = q.shape[-1]
+    B = qm.shape[0]
     deterministic = not training
     ks = jax.random.split(xs["key"], 4) if training else [None] * 4
 
-    fast2 = "sp1" in xs  # P==2: run party cells only on their kept rows
-    if fast2:
-        sp1 = xs["sp1"]  # [B, P] re-derived speaker one-hot
-        q0_sel = jnp.einsum("bp,bpd->bd", sp1, q)  # == select_parties
-    else:
-        q0_sel = select_parties(q, qm)
-    g_ = gru_step(xs["g_x"] + jnp.matmul(q0_sel, consts["gWih_q"]),
-                  g_prev, consts["gWhh"], consts["gbhh"])
-    g_ = dropout(g_, dropout_rate, deterministic, ks[0])
+    g_, q0_sel = _drnn_pre(consts, xs, q, g_prev, ks[0], dropout_rate,
+                           deterministic)
 
     # attention over g_hist prefix (empty prefix -> zeros, alpha None)
     if _ABLATE_CONTEXT_ATT:
@@ -177,6 +185,19 @@ def _drnn_step(consts, carry, xs, listener_state, context_attention,
 
     g_hist = jax.lax.dynamic_update_slice_in_dim(g_hist, g_[None], t, axis=0)
 
+    q_, e_ = _drnn_post(consts, xs, q, e_prev, q0_sel, c_, ks,
+                        listener_state, dropout_rate, deterministic)
+    return (q_, e_, g_, g_hist, t + 1), (e_, alpha)
+
+
+def _drnn_post(consts, xs, q, e_prev, q0_sel, c_, ks, listener_state,
+               dropout_rate, deterministic):
+    """Party + emotion cells (the step's post-attention half)."""
+    qm = xs["qm"]
+    B, P = qm.shape[0], qm.shape[1]
+    D_p = q.shape[-1]
+    fast2 = "sp1" in xs  # P==2: run party cells only on their kept rows
+
     p_in = xs["p_x"] + jnp.matmul(c_, consts["pWih_c"])  # [B, 3*D_p]
     if fast2:
         # The reference updates ALL B*P party rows with p_cell (and l_cell)
@@ -194,6 +215,7 @@ def _drnn_step(consts, carry, xs, listener_state, context_attention,
         # in every loader (torch pad_sequence semantics), so those rows are
         # never read by a valid step; their outputs stay finite and are
         # masked from loss/metrics and parity comparisons.
+        sp1 = xs["sp1"]
         lis1 = 1.0 - sp1
         q_lis = jnp.einsum("bp,bpd->bd", lis1, q)
         qs_row = gru_step(p_in, q0_sel, consts["pWhh"], consts["pbhh"])
@@ -234,7 +256,160 @@ def _drnn_step(consts, carry, xs, listener_state, context_attention,
         e_prev, consts["eWhh"], consts["ebhh"])
     e_ = dropout(e_, dropout_rate, deterministic, ks[3])
 
-    return (q_, e_, g_, g_hist, t + 1), (e_, alpha)
+    return q_, e_
+
+
+def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
+                     dropout_rate, training):
+    """Process one chunk of C steps with flash-style context attention.
+
+    The per-step formulation reads the full [L, B, D_g] g_hist buffer twice
+    every step (scores + pooling) — measured 60% of the eval pass / 29% of a
+    train step at production shapes. Because the attention queries (att_x)
+    are hoisted out of the scan, the contribution of all COMPLETED chunks to
+    every step in the current chunk is two per-chunk batched matmuls over
+    g_hist (one read each, MXU work); the within-chunk contribution comes
+    from a small [C, B, D_g] buffer scanned per step. The two merge by exact
+    online-softmax (max/sum decomposition, the flash-attention identity), so
+    the math equals the per-step masked softmax up to fp reassociation.
+    g_hist HBM traffic drops from 2·L reads per pass to 2·L/C.
+
+    xs leaves are [C, ...] per-step slices; carry matches ``_drnn_init``.
+    Pure XLA — autodiff and the configured remat policy apply unchanged.
+    """
+    q0, e0, g0, g_hist, t0 = carry
+    C = xs["u"].shape[0]
+    L, B, D_g = g_hist.shape
+    dtype = g_hist.dtype
+    neg = jnp.asarray(jnp.finfo(dtype).min / 2, dtype)
+    hi = jax.lax.Precision.HIGHEST  # parity: keep the MXU out of bf16 here
+
+    # past-chunk block: two g_hist reads PER CHUNK (vs two per step)
+    if context_attention == "simple":
+        s_q = jnp.einsum("jbd,dk->bj", g_hist, consts["attS"],
+                         precision=hi)  # query-independent [B, L]
+        s_past = jnp.broadcast_to(s_q[None], (C, B, L))
+    else:  # 'general' / 'general2' (bias folded into hoisted att_x)
+        s_past = jnp.einsum("cbd,jbd->cbj", xs["att_x"], g_hist,
+                            precision=hi)
+    jmask = jnp.arange(L)[None, None, :] < t0  # rows from completed chunks
+    s_past = jnp.where(jmask, s_past, neg)
+    m_past = jnp.max(s_past, axis=2)  # [C, B] (empty prefix -> neg)
+    # s_past <= m_past everywhere, so exp never overflows; masked entries
+    # hit exp(0)=1 and are zeroed by the where.
+    w_past = jnp.where(jmask, jnp.exp(s_past - m_past[..., None]), 0.0)
+    d_past = jnp.sum(w_past, axis=2)  # [C, B]
+    n_past = jnp.einsum("cbj,jbd->cbd", w_past, g_hist, precision=hi)
+
+    def inner(icarry, ixs):
+        q, e_prev, g_prev, gbuf, i = icarry
+        deterministic = not training
+        ks = (jax.random.split(ixs["key"], 4) if training else [None] * 4)
+
+        g_, q0_sel = _drnn_pre(consts, ixs, q, g_prev, ks[0], dropout_rate,
+                               deterministic)
+
+        # within-chunk attention over gbuf rows < i (VMEM-sized)
+        if context_attention == "simple":
+            s_cur = jnp.einsum("jbd,dk->bj", gbuf, consts["attS"])
+        else:
+            s_cur = jnp.einsum("bd,jbd->bj", ixs["att_x"], gbuf)
+        imask = jnp.arange(C)[None, :] < i
+        s_cur = jnp.where(imask, s_cur, neg)
+        m_cur = jnp.max(s_cur, axis=1)  # [B]
+        w_cur = jnp.where(imask, jnp.exp(s_cur - m_cur[:, None]), 0.0)
+        d_cur = jnp.sum(w_cur, axis=1)
+        n_cur = jnp.einsum("bj,jbd->bd", w_cur, gbuf)
+
+        # online-softmax merge of (past, current-chunk) partial sums
+        m_p, d_p, n_p = ixs["m_past"], ixs["d_past"], ixs["n_past"]
+        m = jnp.maximum(m_p, m_cur)
+        sp = jnp.exp(m_p - m)
+        sc = jnp.exp(m_cur - m)
+        z = d_p * sp + d_cur * sc  # [B]; 0 iff empty prefix (t == 0)
+        zinv = jnp.where(z > 0, 1.0 / jnp.where(z > 0, z, 1.0), 0.0)
+        c_ = (n_p * sp[:, None] + n_cur * sc[:, None]) * zinv[:, None]
+
+        # normalized alpha [B, L] (reference output; DCE'd when unused)
+        if _SKIP_ALPHAS:  # measurement-only: bound the reconstruction cost
+            alpha = jnp.zeros((B, L), dtype)
+        else:
+            a_past = ixs["w_past"] * (sp * zinv)[:, None]
+            a_cur = w_cur * (sc * zinv)[:, None]
+            alpha = a_past + jax.lax.dynamic_update_slice(
+                jnp.zeros_like(a_past), a_cur,
+                (jnp.asarray(0, t0.dtype), t0))
+
+        gbuf = jax.lax.dynamic_update_slice_in_dim(gbuf, g_[None], i, axis=0)
+        q_, e_ = _drnn_post(consts, ixs, q, e_prev, q0_sel, c_, ks,
+                            listener_state, dropout_rate, deterministic)
+        return (q_, e_, g_, gbuf, i + 1), (e_, alpha)
+
+    inner_seqs = {k: v for k, v in xs.items()}
+    inner_seqs.update(m_past=m_past, d_past=d_past, n_past=n_past,
+                      w_past=w_past)
+    gbuf0 = jnp.zeros((C, B, D_g), dtype)
+    (q_, e_, g_, gbuf, _), (es, alphas) = jax.lax.scan(
+        inner, (q0, e0, g0, gbuf0, jnp.asarray(0, t0.dtype)), inner_seqs)
+    g_hist = jax.lax.dynamic_update_slice_in_dim(g_hist, gbuf, t0, axis=0)
+    return (q_, e_, g_, g_hist, t0 + C), (es, alphas)
+
+
+def _fused_directions_chunked(cell_f, cell_b, inputs_f, inputs_b, chunk,
+                              init, step_kwargs, deterministic, make_rng):
+    """Both directions of the chunked DialogueRNN scan as ONE outer scan over
+    chunks with a direction-vmapped chunk step (the chunked analogue of
+    ``marn_variants._fused_directions``). Returns (ys_f, ys_b) per output."""
+    import functools
+
+    seqs_f, consts_f = cell_f(*inputs_f, deterministic, mode="gather")
+    seqs_b, consts_b = cell_b(*inputs_b, deterministic, mode="gather")
+    seqs = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
+    consts = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
+
+    L = inputs_f[0].shape[0]
+    training = not deterministic
+    if training:
+        seqs["key"] = jax.random.split(make_rng(), (L, 2))
+
+    K = -(-L // chunk)
+    L_pad = K * chunk
+    if L_pad != L:  # zero-pad trailing steps; outputs truncated below
+        seqs = jax.tree_util.tree_map(
+            lambda a: jnp.pad(a, [(0, L_pad - L)] + [(0, 0)] * (a.ndim - 1)),
+            seqs)
+        # the history buffer must span the padded step count — the last
+        # chunk's whole-chunk write would otherwise clamp its start index
+        # and corrupt earlier rows. Padded rows are only ever written by
+        # (and attended from) discarded trailing steps.
+        q0, e0, g0, gh, t = init
+        init = (q0, e0, g0,
+                jnp.pad(gh, [(0, L_pad - L), (0, 0), (0, 0)]), t)
+    seqs = jax.tree_util.tree_map(
+        lambda a: a.reshape((K, chunk) + a.shape[1:]), seqs)
+
+    init = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), init)
+    fn = functools.partial(_drnn_chunk_step, training=training, **step_kwargs)
+
+    def step(carry, xs):
+        # consts/carry carry the direction on axis 0; per-chunk xs leaves
+        # are [C, 2, ...] with the direction on axis 1.
+        return jax.vmap(fn, in_axes=(0, 0, 1), out_axes=(0, 1))(
+            consts, carry, xs)
+
+    if training:
+        from ser_tpu import config
+
+        step = config.scan_remat(step)
+    _, ys = jax.lax.scan(step, init, seqs)  # leaves [K, C, 2, ...]
+
+    def split(y):
+        flat = y.reshape((L_pad,) + y.shape[2:])[:L]
+        return flat[:, 0], flat[:, 1]
+
+    return tuple(split(y) for y in ys)
 
 
 def matching_attention_general2(M, x, mask, transform_kernel, transform_bias):
@@ -295,15 +470,32 @@ class BiModel(nn.Module):
         rev_U = reverse_seq(U, umask)
         rev_qmask = reverse_seq(qmask, umask)
         L, B, P = U.shape[0], U.shape[1], qmask.shape[2]
-        (emotions_f, emotions_b), (alpha_f, alpha_b) = _fused_directions(
-            rnn_f, rnn_r, (U, qmask), (rev_U, rev_qmask),
-            functools.partial(
-                _drnn_step, listener_state=self.listener_state,
-                context_attention=self.context_attention,
-                dropout_rate=self.dropout_rec),
-            n_state=0, deterministic=deterministic,
-            make_rng=lambda: self.make_rng("dropout"), qmask_idx=1,
-            init=_drnn_init(L, B, P, self.D_g, self.D_p, self.D_e, U.dtype))
+        from ser_tpu import config
+
+        chunk = config.drnn_chunk(L)
+        init = _drnn_init(L, B, P, self.D_g, self.D_p, self.D_e, U.dtype)
+        if chunk:
+            (emotions_f, emotions_b), (alpha_f, alpha_b) = (
+                _fused_directions_chunked(
+                    rnn_f, rnn_r, (U, qmask), (rev_U, rev_qmask), chunk,
+                    init, dict(listener_state=self.listener_state,
+                               context_attention=self.context_attention,
+                               dropout_rate=self.dropout_rec),
+                    deterministic=deterministic,
+                    make_rng=lambda: self.make_rng("dropout")))
+            # padded-chunk alpha columns are identically zero for valid steps
+            alpha_f = alpha_f[..., :L]
+            alpha_b = alpha_b[..., :L]
+        else:
+            (emotions_f, emotions_b), (alpha_f, alpha_b) = _fused_directions(
+                rnn_f, rnn_r, (U, qmask), (rev_U, rev_qmask),
+                functools.partial(
+                    _drnn_step, listener_state=self.listener_state,
+                    context_attention=self.context_attention,
+                    dropout_rate=self.dropout_rec),
+                n_state=0, deterministic=deterministic,
+                make_rng=lambda: self.make_rng("dropout"), qmask_idx=1,
+                init=init)
 
         emotions_f = drop_rec(emotions_f, deterministic)
         emotions_b = reverse_seq(emotions_b, umask)
