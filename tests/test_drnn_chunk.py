@@ -80,6 +80,33 @@ def test_chunked_train_grads_match(drnn_batch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+@pytest.mark.slow
+def test_chunked_production_combination():
+    """The combination production actually runs — "auto" chunk 16 at
+    L >= 32 — against per-step, at an L that is NOT a multiple of 16
+    (L=33 -> K=3, L_pad=48: padded tail chunk + padded g_hist)."""
+    import jax.numpy as jnp
+
+    from ser_tpu import config
+    from ser_tpu.data.synthetic import synthetic_batch
+
+    assert config.drnn_chunk(33) == 16  # pin the auto policy this test pins
+
+    batch = {k: jnp.asarray(v)
+             for k, v in synthetic_batch(L=33, B=3, seed=11,
+                                         min_len=8).items() if k != "vid"}
+    logp_ref, alpha_ref = _run(None, batch)
+    logp, alpha = _run("auto", batch)
+    np.testing.assert_allclose(np.asarray(logp), np.asarray(logp_ref),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(alpha), np.asarray(alpha_ref),
+                               atol=5e-5)
+
+    loss_ref, _ = _run(None, batch, training=True)
+    loss, _ = _run("auto", batch, training=True)
+    np.testing.assert_allclose(float(loss), float(loss_ref), atol=1e-5)
+
+
 @pytest.mark.parametrize("context_attention", ["general", "simple",
                                                "general2"])
 @pytest.mark.parametrize("fast2", [False, True])
