@@ -44,9 +44,19 @@ def main(argv=None):
     p.add_argument("--torch_format", action="store_true",
                    help="--initial_model is a reference PyTorch .model "
                         "checkpoint (imported via ser_tpu.compat)")
+    p.add_argument("--encoder_attention", type=str, default="mha",
+                   help="must match the flag the checkpoint was trained "
+                        "with (train.py --encoder_attention): it changes "
+                        "the encoder param tree, and the tolerant loader "
+                        "would otherwise silently skip those weights")
     args = p.parse_args(argv)
 
     seed_everything(args.seed)
+    from ser_tpu import config
+
+    # set unconditionally (not just when != "mha"): the global is sticky,
+    # and an in-process caller may have left a zoo kind configured
+    config.ENCODER_ATTENTION = args.encoder_attention
     use_frontend = args.audio_frontend not in (None, "", "none")
     if args.synthetic:
         import tempfile

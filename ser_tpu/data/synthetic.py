@@ -253,6 +253,24 @@ def generate_meld_pickles(
     return out_dir.rstrip("/") + "/"
 
 
+def synthetic_items(n=8, seed=0, min_len=3, max_len=7, n_classes=6):
+    """In-memory 10-field dataset items at IEMOCAP feature dims (the
+    pre-collate form EpochLoader consumes): (r1..r4 [T,1024], visual
+    [T,512], audio [T,100], qmask [T,2], umask [T], label [T], vid)."""
+    rng = np.random.default_rng(seed)
+    items = []
+    for i in range(n):
+        T = int(rng.integers(min_len, max_len))
+        fields = [rng.standard_normal((T, d)).astype(np.float32)
+                  for d in (1024, 1024, 1024, 1024, 512, 100)]
+        sp = rng.integers(0, 2, size=T)
+        qmask = np.eye(2, dtype=np.float32)[sp]
+        umask = np.ones(T, dtype=np.float32)
+        label = rng.integers(0, n_classes, size=T).astype(np.int64)
+        items.append((*fields, qmask, umask, label, f"d{i}"))
+    return items
+
+
 def synthetic_batch(L=110, B=80, n_classes=6, seed=0, d_text=1024, d_audio=100,
                     d_visual=512, min_len=None):
     """In-memory padded batch dict at IEMOCAP-realistic shapes."""

@@ -284,22 +284,30 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
     neg = jnp.asarray(jnp.finfo(dtype).min / 2, dtype)
     hi = jax.lax.Precision.HIGHEST  # parity: keep the MXU out of bf16 here
 
-    # past-chunk block: two g_hist reads PER CHUNK (vs two per step)
-    if context_attention == "simple":
-        s_q = jnp.einsum("jbd,dk->bj", g_hist, consts["attS"],
-                         precision=hi)  # query-independent [B, L]
-        s_past = jnp.broadcast_to(s_q[None], (C, B, L))
-    else:  # 'general' / 'general2' (bias folded into hoisted att_x)
+    # past-chunk block: two g_hist reads PER CHUNK (vs two per step).
+    # 'simple' scores are query-independent, so its stats are one [B, ·]
+    # set closed over by the inner scan instead of C copies threaded
+    # through xs. s_past <= m_past everywhere in both branches, so exp
+    # never overflows; masked entries hit exp(0)=1, zeroed by the where.
+    query_dep = context_attention != "simple"
+    if query_dep:  # 'general' / 'general2' (bias folded into hoisted att_x)
         s_past = jnp.einsum("cbd,jbd->cbj", xs["att_x"], g_hist,
                             precision=hi)
-    jmask = jnp.arange(L)[None, None, :] < t0  # rows from completed chunks
-    s_past = jnp.where(jmask, s_past, neg)
-    m_past = jnp.max(s_past, axis=2)  # [C, B] (empty prefix -> neg)
-    # s_past <= m_past everywhere, so exp never overflows; masked entries
-    # hit exp(0)=1 and are zeroed by the where.
-    w_past = jnp.where(jmask, jnp.exp(s_past - m_past[..., None]), 0.0)
-    d_past = jnp.sum(w_past, axis=2)  # [C, B]
-    n_past = jnp.einsum("cbj,jbd->cbd", w_past, g_hist, precision=hi)
+        jmask = jnp.arange(L)[None, None, :] < t0  # completed-chunk rows
+        s_past = jnp.where(jmask, s_past, neg)
+        m_past = jnp.max(s_past, axis=2)  # [C, B] (empty prefix -> neg)
+        w_past = jnp.where(jmask, jnp.exp(s_past - m_past[..., None]), 0.0)
+        d_past = jnp.sum(w_past, axis=2)  # [C, B]
+        n_past = jnp.einsum("cbj,jbd->cbd", w_past, g_hist, precision=hi)
+    else:
+        s_q = jnp.einsum("jbd,dk->bj", g_hist, consts["attS"],
+                         precision=hi)  # [B, L]
+        jmask1 = jnp.arange(L)[None, :] < t0
+        s_q = jnp.where(jmask1, s_q, neg)
+        m_past1 = jnp.max(s_q, axis=1)  # [B]
+        w_past1 = jnp.where(jmask1, jnp.exp(s_q - m_past1[:, None]), 0.0)
+        d_past1 = jnp.sum(w_past1, axis=1)
+        n_past1 = jnp.einsum("bj,jbd->bd", w_past1, g_hist, precision=hi)
 
     def inner(icarry, ixs):
         q, e_prev, g_prev, gbuf, i = icarry
@@ -322,7 +330,11 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
         n_cur = jnp.einsum("bj,jbd->bd", w_cur, gbuf)
 
         # online-softmax merge of (past, current-chunk) partial sums
-        m_p, d_p, n_p = ixs["m_past"], ixs["d_past"], ixs["n_past"]
+        if query_dep:
+            m_p, d_p, n_p = ixs["m_past"], ixs["d_past"], ixs["n_past"]
+            w_p = ixs["w_past"]
+        else:
+            m_p, d_p, n_p, w_p = m_past1, d_past1, n_past1, w_past1
         m = jnp.maximum(m_p, m_cur)
         sp = jnp.exp(m_p - m)
         sc = jnp.exp(m_cur - m)
@@ -334,7 +346,7 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
         if _SKIP_ALPHAS:  # measurement-only: bound the reconstruction cost
             alpha = jnp.zeros((B, L), dtype)
         else:
-            a_past = ixs["w_past"] * (sp * zinv)[:, None]
+            a_past = w_p * (sp * zinv)[:, None]
             a_cur = w_cur * (sc * zinv)[:, None]
             alpha = a_past + jax.lax.dynamic_update_slice(
                 jnp.zeros_like(a_past), a_cur,
@@ -346,8 +358,9 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
         return (q_, e_, g_, gbuf, i + 1), (e_, alpha)
 
     inner_seqs = {k: v for k, v in xs.items()}
-    inner_seqs.update(m_past=m_past, d_past=d_past, n_past=n_past,
-                      w_past=w_past)
+    if query_dep:
+        inner_seqs.update(m_past=m_past, d_past=d_past, n_past=n_past,
+                          w_past=w_past)
     gbuf0 = jnp.zeros((C, B, D_g), dtype)
     (q_, e_, g_, gbuf, _), (es, alphas) = jax.lax.scan(
         inner, (q0, e0, g0, gbuf0, jnp.asarray(0, t0.dtype)), inner_seqs)

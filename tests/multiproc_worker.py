@@ -17,20 +17,9 @@ import sys
 
 def make_items(n=8, seed=0):
     """Deterministic in-memory 10-field dataset (same on every process)."""
-    import numpy as np
+    from ser_tpu.data.synthetic import synthetic_items
 
-    rng = np.random.default_rng(seed)
-    items = []
-    for i in range(n):
-        T = int(rng.integers(4, 9))
-        fields = [rng.standard_normal((T, d)).astype(np.float32)
-                  for d in (1024, 1024, 1024, 1024, 512, 100)]
-        sp = rng.integers(0, 2, size=T)
-        qmask = np.eye(2, dtype=np.float32)[sp]
-        umask = np.ones(T, dtype=np.float32)
-        label = rng.integers(0, 6, size=T).astype(np.int64)
-        items.append((*fields, qmask, umask, label, f"d{i}"))
-    return items
+    return synthetic_items(n=n, seed=seed, min_len=4, max_len=9)
 
 
 def run(process_index=0, process_count=1, mesh_devices=4, model="BiLSTM"):

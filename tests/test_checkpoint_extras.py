@@ -71,18 +71,9 @@ def test_exact_resume_roundtrip(tmp_path):
 
 def _tiny_items(n=8, seed=0):
     """In-memory 10-field dataset items at IEMOCAP feature dims, tiny T."""
-    rng = np.random.default_rng(seed)
-    items = []
-    for i in range(n):
-        T = int(rng.integers(3, 7))
-        fields = [rng.standard_normal((T, d)).astype(np.float32)
-                  for d in (1024, 1024, 1024, 1024, 512, 100)]
-        sp = rng.integers(0, 2, size=T)
-        qmask = np.eye(2, dtype=np.float32)[sp]
-        umask = np.ones(T, dtype=np.float32)
-        label = rng.integers(0, 6, size=T).astype(np.int64)
-        items.append((*fields, qmask, umask, label, f"d{i}"))
-    return items
+    from ser_tpu.data.synthetic import synthetic_items
+
+    return synthetic_items(n=n, seed=seed, min_len=3, max_len=7)
 
 
 def test_exact_resume_with_shuffling_loader(tmp_path):

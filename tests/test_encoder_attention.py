@@ -72,6 +72,36 @@ def test_zoo_encoder_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_predict_cli_honors_encoder_attention(tmp_path, capsys):
+    """predict.py --encoder_attention must rebuild the SAME param tree the
+    checkpoint was trained with; without the flag the tolerant loader
+    silently skips every zoo-encoder weight and evaluates garbage."""
+    import json
+
+    import predict
+    from ser_tpu.train.trainer import ModelTrainer
+
+    config.ENCODER_ATTENTION = "external"
+    t = ModelTrainer(model="MARN1_onlysp", seed=3, res_csv_path=None)
+    path = str(tmp_path / "zoo.model")
+    t.save_parameters(path)
+    config.ENCODER_ATTENTION = "mha"
+
+    common = ["--initial_model", path, "--synthetic", "--batch_size", "8",
+              "--res_csv", str(tmp_path / "res.csv")]
+    predict.main(common + ["--encoder_attention", "external"])
+    out = capsys.readouterr().out
+    assert "is not in the model" not in out, out
+    report = json.loads(out[out.index("{"):])
+    assert np.isfinite(report["weighted_accuracy"])
+
+    # sensitivity: the default-mha tree must NOT silently accept this
+    # checkpoint (this is the failure mode the flag exists to prevent)
+    predict.main(common)
+    out = capsys.readouterr().out
+    assert "is not in the model" in out
+
+
 def test_zoo_encoder_trains():
     """One train step under the external-attention encoder: finite loss,
     every zoo-op parameter receives gradient."""

@@ -72,6 +72,12 @@ def main(args):
             print(f"process {jax.process_index()}/{jax.process_count()}: "
                   f"loading {args.batch_size // jax.process_count()} of "
                   f"{args.batch_size} dialogues per batch")
+    # On a multi-host slice every process runs the same computation (it
+    # must — the collectives are collective), but only process 0 may touch
+    # shared files: N concurrent writers to one checkpoint/score.txt on a
+    # shared filesystem interleave and corrupt them. (res.csv is guarded
+    # the same way inside trainer.eval_network.)
+    primary = proc_kwargs.get("process_index", 0) == 0
 
     train_loader, valid_loader, test_loader = get_loaders(
         args.feature_path,
@@ -91,10 +97,12 @@ def main(args):
         train_loader = PrefetchLoader(train_loader)
         test_loader = PrefetchLoader(test_loader)
 
-    score_file = open(args.score_save_path, "a+")
-    score_file.write(
-        f"Model: {args.model} \nDataset : {args.dataset}\n" + "-" * 20 + "\n"
-    )
+    score_file = open(args.score_save_path, "a+") if primary else None
+    if score_file:
+        score_file.write(
+            f"Model: {args.model} \nDataset : {args.dataset}\n"
+            + "-" * 20 + "\n"
+        )
 
     mesh = None
     if args.tp > 1:
@@ -132,7 +140,7 @@ def main(args):
         s = ModelTrainer(**vars(args))
         print("Model %s loaded from previous state!" % args.initial_model)
         s.load_parameters(args.initial_model, torch_format=args.torch_format)
-        if args.export_torch:
+        if args.export_torch and primary:
             s.export_parameters_torch(args.export_torch)
             print(f"Exported reference-format checkpoint: {args.export_torch}")
         acc, fscore, _ = s.eval_network(test_loader)
@@ -162,12 +170,13 @@ def main(args):
         print("-" * 10, f"epoch {epoch} training", "-" * 10)
         lr, loss = trainer.train_network(epoch, train_loader)
         if epoch % args.test_step == 0:
-            trainer.save_parameters(
-                args.model_save_path + "/model_%04d.model" % epoch
-            )
-            if args.save_state:
-                trainer.save_train_state(
-                    args.model_save_path + "/last.state", epoch)
+            if primary:
+                trainer.save_parameters(
+                    args.model_save_path + "/model_%04d.model" % epoch
+                )
+                if args.save_state:
+                    trainer.save_train_state(
+                        args.model_save_path + "/last.state", epoch)
             acc, fscore, parame = trainer.eval_network(test_loader)
             # the reference's fusion-weight tracker is vestigial
             # (model_trainer.py:160-168 returns {}); we feed the same
@@ -186,21 +195,24 @@ def main(args):
                 f"Best Fscore: {max(fscores):.2f} [{best_ep}epoch]"
             )
             print(time.strftime("%Y-%m-%d %H:%M:%S"), line)
-            score_file.write(
-                time.strftime("%Y-%m-%d %H:%M:%S") + f" —— {line}\n"
-            )
-            score_file.flush()
+            if score_file:
+                score_file.write(
+                    time.strftime("%Y-%m-%d %H:%M:%S") + f" —— {line}\n"
+                )
+                score_file.flush()
 
-    if args.export_torch:
+    if args.export_torch and primary:
         trainer.export_parameters_torch(args.export_torch)
         print(f"Exported reference-format checkpoint: {args.export_torch}")
 
-    score_file.write("\n")
-    score_file.close()
+    if score_file:
+        score_file.write("\n")
+        score_file.close()
 
-    import pandas as pd
+    if primary:
+        import pandas as pd
 
-    pd.DataFrame(w_dic).to_csv("parameters.csv", index=False)
+        pd.DataFrame(w_dic).to_csv("parameters.csv", index=False)
 
 
 def parser_args(argv=None):
