@@ -114,3 +114,23 @@ def test_exact_resume_with_shuffling_loader(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(a.params),
                     jax.tree_util.tree_leaves(c.params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resume_latest_resolution(tmp_path, capsys):
+    """--resume latest: fresh start when save_path has no last.state yet,
+    exact-resume path once --save_state has written one (the
+    preemption-safe restart loop's contract)."""
+    from train import _resolve_resume
+
+    save = str(tmp_path / "model")
+    assert _resolve_resume("", save) == ""
+    assert _resolve_resume("some/explicit.state", save) == \
+        "some/explicit.state"
+    assert _resolve_resume("latest", save) == ""  # nothing saved yet
+    assert "starting fresh" in capsys.readouterr().out
+
+    import os
+
+    os.makedirs(save, exist_ok=True)
+    open(save + "/last.state", "wb").close()
+    assert _resolve_resume("latest", save) == save + "/last.state"

@@ -154,15 +154,16 @@ def main(args):
             args.initial_model, torch_format=args.torch_format)
 
     start_epoch = 0
-    if args.resume:
-        start_epoch = trainer.load_train_state(args.resume)
+    resume_path = _resolve_resume(args.resume, args.model_save_path)
+    if resume_path:
+        start_epoch = trainer.load_train_state(resume_path)
         # replay the shuffle randomness the finished epochs consumed, so the
         # resumed run sees the same batch order the uninterrupted run would
         # (the .state file restores params/Adam/RNG but the loaders'
         # numpy Generators are freshly seeded at construction)
         train_loader.advance_epochs(start_epoch)
         valid_loader.advance_epochs(start_epoch)
-        print(f"Train state {args.resume} resumed at epoch {start_epoch}!")
+        print(f"Train state {resume_path} resumed at epoch {start_epoch}!")
 
     fscores = []
     w_dic = defaultdict(list)
@@ -215,6 +216,22 @@ def main(args):
         pd.DataFrame(w_dic).to_csv("parameters.csv", index=False)
 
 
+def _resolve_resume(resume, model_save_path):
+    """--resume 'latest' -> save_path's model/last.state when it exists,
+    '' (fresh start) otherwise (restart-from-latest, SURVEY §5.3): with
+    --save_state a preemption-safe loop is just
+    ``while :; do python train.py --save_state --resume latest; done``."""
+    if resume != "latest":
+        return resume
+    import os
+
+    path = model_save_path + "/last.state"
+    if not os.path.exists(path):
+        print(f"--resume latest: no {path} yet; starting fresh")
+        return ""
+    return path
+
+
 def parser_args(argv=None):
     parser = argparse.ArgumentParser(description="SpeakerEmotionRecognition (TPU)")
     parser.add_argument("--epoch", type=int, default=80)
@@ -254,7 +271,10 @@ def parser_args(argv=None):
                              "for exact resume (the reference saves params "
                              "only)")
     parser.add_argument("--resume", type=str, default="",
-                        help="path to a .state file from --save_state; "
+                        help="path to a .state file from --save_state, or "
+                             "'latest' to auto-resume from save_path's "
+                             "model/last.state when it exists (fresh start "
+                             "otherwise — preemption-safe restart loops); "
                              "continues the run exactly where it stopped")
     parser.add_argument("--export_torch", type=str, default="",
                         help="after training (or after --eval load), also "
