@@ -1,0 +1,118 @@
+"""AOT serving artifacts (ser_tpu/serving.py + serve.py CLI).
+
+The export bakes trained params into a serialized multi-platform
+``jax.export`` StableHLO artifact; ``ServingModel`` pads smaller batches
+to the exported [L, B] and unpads results. Contract pinned here: serving
+a batch == running the checkpoint on the same batch padded to [L, B]
+(the reference's own padded-eval semantics)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ser_tpu.data.synthetic import synthetic_batch
+from ser_tpu.models.registry import get_model_spec
+from ser_tpu.serving import ServingModel, save_model
+
+L, B = 12, 4
+
+
+def _trained_params(model_name="MARN1_onlysp"):
+    spec = get_model_spec(model_name)
+    model = spec.build(6, "IEMOCAP")
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(L=L, B=B, seed=0).items() if k != "vid"}
+    args = spec.make_inputs(batch)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, *args,
+                        deterministic=True)["params"]
+    return spec, model, params
+
+
+def test_roundtrip_exact_at_export_shape(tmp_path):
+    spec, model, params = _trained_params()
+    path = str(tmp_path / "m.ser")
+    save_model(path, "MARN1_onlysp", params, L, B, platforms=("cpu",))
+
+    served = ServingModel.load(path)
+    batch = {k: v for k, v in
+             synthetic_batch(L=L, B=B, seed=3).items() if k != "vid"}
+    out = served.predict(batch)
+
+    args = spec.make_inputs({k: jnp.asarray(v) for k, v in batch.items()})
+    ref = np.asarray(spec.extract_logp(
+        model.apply({"params": params}, *args, deterministic=True)))
+    ref = ref.reshape(B, L, -1)
+    np.testing.assert_allclose(out["logp"], ref, atol=2e-4)
+
+
+def test_padding_contract_smaller_batch(tmp_path):
+    """A [l < L, b < B] batch == the checkpoint run on the same batch
+    PADDED to [L, B] (rows sliced back)."""
+    spec, model, params = _trained_params()
+    path = str(tmp_path / "m.ser")
+    save_model(path, "MARN1_onlysp", params, L, B, platforms=("cpu",))
+    served = ServingModel.load(path)
+
+    small = {k: v for k, v in
+             synthetic_batch(L=8, B=2, seed=5).items() if k != "vid"}
+    out = served.predict(small)
+    assert out["logp"].shape == (2, 8, 6)
+    assert out["preds"].shape == (2, 8)
+
+    padded = {}
+    for k, v in small.items():
+        v = np.asarray(v)
+        if k in ("umask", "label"):
+            pad = [(0, B - 2), (0, L - 8)]
+        else:
+            pad = [(0, L - 8), (0, B - 2)] + [(0, 0)] * (v.ndim - 2)
+        padded[k] = np.pad(v, pad)
+    args = spec.make_inputs({k: jnp.asarray(v) for k, v in padded.items()})
+    ref = np.asarray(spec.extract_logp(
+        model.apply({"params": params}, *args, deterministic=True)))
+    ref = ref.reshape(B, L, -1)[:2, :8]
+    np.testing.assert_allclose(out["logp"], ref, atol=2e-4)
+
+
+def test_oversize_batch_rejected(tmp_path):
+    _, _, params = _trained_params()
+    path = str(tmp_path / "m.ser")
+    save_model(path, "MARN1_onlysp", params, L, B, platforms=("cpu",))
+    served = ServingModel.load(path)
+    big = {k: v for k, v in
+           synthetic_batch(L=L + 4, B=B, seed=1).items() if k != "vid"}
+    with pytest.raises(ValueError, match="exceeds the exported shape"):
+        served.predict(big)
+
+
+def test_serve_cli_export_then_run(tmp_path, capsys):
+    """The full CLI path: checkpoint file -> export -> run on synthetic
+    test split; metrics JSON comes out finite."""
+    import serve
+    from ser_tpu.train.trainer import ModelTrainer
+
+    t = ModelTrainer(model="BiLSTM", seed=7, res_csv_path=None)
+    ckpt = str(tmp_path / "bilstm.model")
+    t.save_parameters(ckpt)
+
+    art = str(tmp_path / "bilstm.ser")
+    serve.main(["export", "--initial_model", ckpt, "--model", "BiLSTM",
+                "--out", art, "--L", "16", "--B", "8",
+                "--platforms", "cpu"])
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "artifact"] == art
+
+    from ser_tpu.data.synthetic import generate_iemocap_pickles
+
+    feats = generate_iemocap_pickles(str(tmp_path / "data"), n_train=10,
+                                     n_test=6, min_len=4, max_len=12,
+                                     seed=1)
+    serve.main(["run", "--artifact", art, "--feature_path", feats])
+    out = capsys.readouterr().out
+    report = json.loads(out[out.find("{"):])
+    assert np.isfinite(report["weighted_accuracy"])
+    assert report["n_utterances"] > 0
