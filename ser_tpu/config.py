@@ -60,6 +60,35 @@ DRNN_CHUNK = "auto"
 # ---------------------------------------------------------------------------
 ENCODER_ATTENTION = "mha"
 
+# ---------------------------------------------------------------------------
+# Row-stacked bidirectional Pallas recurrence for the MARN1_onlysp EVAL path
+# (ops/pallas/lsthm.py::lsthm_onlysp_recurrence_bidir_stacked): both
+# directions ride the row axis of ONE kernel (block-diagonal weights, both
+# modality LSTHM matmuls merged), so the whole 110-step recurrence is a
+# single Pallas call with VMEM-resident carries instead of a lax.scan.
+#   "off": always the scan | "on": force (TPU) | "interpret": force in
+#   interpret mode (CPU tests) | "auto": engage on TPU when the shape gate
+#   holds (P==2, H==128 all around, stacked rows 2*ceil8(B) <= 160 — the
+#   kernel i-chunks its attention slab, so the bound is the staged inputs,
+#   not the [R, IC, H] slab).
+# Default pending the earn-or-retire measurement (scripts/
+# bench_pallas_stacked.py); the retired d-loop kernel's history is in the
+# ops/pallas/lsthm.py header.
+# ---------------------------------------------------------------------------
+ONLYSP_STACKED = "off"
+
+
+def onlysp_stacked(B, P, dims_ok):
+    """Static (trace-time) decision for the stacked eval kernel."""
+    import jax
+
+    if ONLYSP_STACKED == "off":
+        return False
+    if ONLYSP_STACKED in ("on", "interpret"):
+        return P == 2 and dims_ok
+    return (P == 2 and dims_ok and 2 * ((B + 7) // 8 * 8) <= 160
+            and jax.default_backend() == "tpu")
+
 
 def drnn_fast2(B, P):
     """Static (trace-time) decision for the DialogueRNN P==2 fast path."""

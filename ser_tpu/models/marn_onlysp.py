@@ -298,7 +298,33 @@ class MARN1OnlySP(nn.Module):
         rev_x_a = reverse_seq(x_a, umask)
         rev_qmask = reverse_seq(qmask, umask)
 
-        if self.fuse_eval_directions:
+        from ser_tpu import config
+
+        B, P = x_l.shape[1], qmask.shape[2]
+        Hl, Ha, Hs = cell_f.dh_l, cell_f.dh_a, cell_f.dh_s
+        use_stacked = (deterministic and config.onlysp_stacked(
+            B, P, Hl == Ha == Hs == 128))
+        if use_stacked:
+            # Eval fast path: the ENTIRE bidirectional recurrence as ONE
+            # Pallas call with both directions stacked on the row axis and
+            # VMEM-resident carries (ops/pallas/lsthm.py; gated by
+            # config.ONLYSP_STACKED — same math as the fused scan below,
+            # kernel-vs-scan parity pinned in tests/test_pallas_lsthm.py).
+            from ser_tpu.ops.pallas.lsthm import (
+                lsthm_onlysp_recurrence_bidir_stacked)
+
+            seqs_f, consts_f = cell_f(x_l, x_a, qmask, True, mode="gather")
+            seqs_b, consts_b = cell_b(
+                rev_x_l, rev_x_a, rev_qmask, True, mode="gather")
+            seqs = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b], axis=1), seqs_f, seqs_b)
+            consts = jax.tree_util.tree_map(
+                lambda a, b: jnp.stack([a, b]), consts_f, consts_b)
+            ys = lsthm_onlysp_recurrence_bidir_stacked(
+                seqs, consts,
+                interpret=(config.ONLYSP_STACKED == "interpret"))
+            h_f, h_b = ys[:, 0], ys[:, 1]
+        elif self.fuse_eval_directions:
             # Both directions in one scan: stack per-step inputs on a
             # direction axis and vmap the step over it. (At train time the
             # per-direction dropout keys ride along as scan inputs; the RNG
@@ -309,8 +335,6 @@ class MARN1OnlySP(nn.Module):
 
             from ser_tpu.models.marn_variants import _fused_directions
 
-            B, P = x_l.shape[1], qmask.shape[2]
-            Hl, Ha, Hs = cell_f.dh_l, cell_f.dh_a, cell_f.dh_s
             zb = lambda *s: jnp.zeros(s, x_l.dtype)
             init = (zb(B, Hl), zb(B, Hl), zb(B, Ha), zb(B, Ha),
                     zb(B, Hl), zb(B, P, Hs))  # z = attention over c_l rows

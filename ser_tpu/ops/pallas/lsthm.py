@@ -337,3 +337,209 @@ def lsthm_onlysp_recurrence_bidir(seqs, consts, interpret: bool = False):
     )(xl_proj, xa_proj, gru_x, onehot, qmask,
       K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk)
     return out[:, :, :B]
+
+
+def _kernel_bidir_stacked(xl_ref, xa_ref, gx_ref, oh_ref, qm_ref,
+                          G_ref, gb_ref, K_ref, b_ref,
+                          wq_ref, wk_ref, wkmm_ref, m0_ref,
+                          out_ref,
+                          hl_s, cl_s, ha_s, ca_s, z_s, q0_s, q1_s,
+                          *, H: int, IC: int):
+    """Row-stacked bidirectional step: both directions ride the ROW axis
+    (rows [0:Bp] = forward, [Bp:2Bp] = backward), so every VPU op runs ONCE
+    on [R, .] instead of twice on [B, .] (the ``_kernel_bidir`` d-loop
+    measured ~2x the single-direction kernel — Mosaic does not interleave
+    the two chains).
+
+    Per-direction weights need no select: the input is laid out as
+    [state*m0 | state*(1-m0)] and the weights VERTICALLY stacked
+    [K_fwd; K_bwd], so forward rows hit K_fwd and backward rows K_bwd in
+    one matmul whose output is already per-row correct. The two modality
+    LSTHM matmuls are additionally merged (shared [h_l|h_a|z|h_s] input).
+
+    Row-wise constants (biases, wq/wk, the rank-1 max/min of wk, the
+    forward-row mask m0) are precomputed outside as [R, .] arrays.
+
+    ``IC``: attention i-chunk — the [R, IC, H] slab is the kernel's VMEM
+    peak; IC < H trades a few extra VPU passes for fitting larger R.
+    """
+    import jax.experimental.pallas as pl
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        for s in (hl_s, cl_s, ha_s, ca_s, z_s, q0_s, q1_s):
+            s[:, :] = jnp.zeros_like(s)
+
+    m0 = m0_ref[:, :]  # [R, 1] 1.0 on forward rows
+    oh = oh_ref[0]
+    qm = qm_ref[0]
+    q0 = q0_s[:, :]
+    q1 = q1_s[:, :]
+    qs0 = q0 * oh[:, 0:1] + q1 * oh[:, 1:2]
+
+    # GRU speaker update ([qs0*m0 | qs0*(1-m0)] @ [G_fwd; G_bwd])
+    qs0_pad = jnp.concatenate([qs0 * m0, qs0 * (1.0 - m0)], axis=-1)
+    hproj = jnp.dot(qs0_pad, G_ref[:, :],
+                    preferred_element_type=jnp.float32) + gb_ref[:, :]
+    xg = gx_ref[0]
+    r = _sigmoid(xg[:, :H] + hproj[:, :H])
+    zg = _sigmoid(xg[:, H:2 * H] + hproj[:, H:2 * H])
+    n = jnp.tanh(xg[:, 2 * H:] + r * hproj[:, 2 * H:])
+    h_s = (1.0 - zg) * n + zg * qs0
+
+    q0_s[:, :] = q0 * (1.0 - qm[:, 0:1]) + h_s * qm[:, 0:1]
+    q1_s[:, :] = q1 * (1.0 - qm[:, 1:2]) + h_s * qm[:, 1:2]
+
+    # Both modality LSTHMs in one matmul on [h_l|h_a|z|h_s].
+    z = z_s[:, :]
+    state = jnp.concatenate([hl_s[:, :], ha_s[:, :], z, h_s], axis=-1)
+    state_pad = jnp.concatenate([state * m0, state * (1.0 - m0)], axis=-1)
+    sums = jnp.dot(state_pad, K_ref[:, :],
+                   preferred_element_type=jnp.float32) + b_ref[:, :]
+    sums_l = xl_ref[0] + sums[:, :4 * H]
+    sums_a = xa_ref[0] + sums[:, 4 * H:]
+
+    c_l = _sigmoid(sums_l[:, :H]) * cl_s[:, :] + \
+        _sigmoid(sums_l[:, H:2 * H]) * jnp.tanh(sums_l[:, 3 * H:])
+    h_l = jnp.tanh(c_l) * _sigmoid(sums_l[:, 2 * H:3 * H])
+    c_a = _sigmoid(sums_a[:, :H]) * ca_s[:, :] + \
+        _sigmoid(sums_a[:, H:2 * H]) * jnp.tanh(sums_a[:, 3 * H:])
+    h_a = jnp.tanh(c_a) * _sigmoid(sums_a[:, 2 * H:3 * H])
+
+    # fused rank-1 cross attention, row-wise wq/wk (wkmm = [max|min](wk)),
+    # i-chunked to bound the [R, IC, H] VMEM slab.
+    wq = wq_ref[:, :]
+    wk = wk_ref[:, :]
+    s = jnp.sum(c_a * wq, axis=-1, keepdims=True) / (H ** 0.5)
+    alpha = c_l * s
+    m = jnp.where(alpha > 0, alpha * wkmm_ref[:, 0:1],
+                  alpha * wkmm_ref[:, 1:2])
+    chunks = []
+    for i0 in range(0, H, IC):
+        a_c = alpha[:, i0:i0 + IC]
+        m_c = m[:, i0:i0 + IC]
+        e = jnp.exp(a_c[:, :, None] * wk[:, None, :] - m_c[:, :, None])
+        chunks.append(jnp.sum(e * c_a[:, None, :], axis=-1)
+                      / jnp.sum(e, axis=-1))
+    z_new = chunks[0] if len(chunks) == 1 else jnp.concatenate(
+        chunks, axis=-1)
+
+    hl_s[:, :] = h_l
+    cl_s[:, :] = c_l
+    ha_s[:, :] = h_a
+    ca_s[:, :] = c_a
+    z_s[:, :] = z_new
+
+    out_ref[0] = jnp.concatenate([h_l, h_a, z_new, h_s], axis=-1)
+
+
+def lsthm_onlysp_recurrence_bidir_stacked(seqs, consts,
+                                          interpret: bool = False):
+    """Row-stacked fused BIDIRECTIONAL onlysp recurrence.
+
+    Same contract as ``lsthm_onlysp_recurrence_bidir``:
+
+      seqs:   (xl_proj, xa_proj, gru_x, qmask), each [T, 2, B, .]
+      consts: (K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk), each [2, ...]
+
+    Returns [T, 2, B, 4H] per-step outputs [h_l|h_a|z|h_s].
+
+    B pads to a sublane multiple per direction, then the direction axis
+    folds into rows: [T, 2, Bp, .] -> [T, 2Bp, .] with rows [0:Bp] forward.
+    VMEM bound: the attention slab is [2Bp, IC, H] f32; IC shrinks
+    automatically for larger R (callers should still gate on 2Bp <= ~160
+    at H=128 — beyond that the staged inputs themselves crowd VMEM).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    xl_proj, xa_proj, gru_x, qmask = seqs
+    K_l, b_l, K_a, b_a, gWhh, gbhh, wq, wk = consts
+    T, _, B = xl_proj.shape[:3]
+    H = K_l.shape[2] // 4
+    Hs = gWhh.shape[1]
+    P = qmask.shape[3]
+    assert P == 2, "fused kernel supports 2 parties (IEMOCAP)"
+    assert Hs == H, "stacked kernel assumes Hl == Ha == Hs"
+
+    Bp = ((B + 7) // 8) * 8
+    if Bp != B:
+        pad = lambda x: jnp.concatenate(
+            [x, jnp.zeros(x.shape[:2] + (Bp - B,) + x.shape[3:], x.dtype)],
+            axis=2)
+        xl_proj, xa_proj, gru_x, qmask = map(
+            pad, (xl_proj, xa_proj, gru_x, qmask))
+    R = 2 * Bp
+
+    idx = jnp.argmax(qmask, axis=3)
+    onehot = jax.nn.one_hot(idx, P, dtype=xl_proj.dtype)
+
+    fold = lambda x: x.reshape((T, R) + x.shape[3:])
+    xl_r, xa_r, gx_r, oh_r, qm_r = map(
+        fold, (xl_proj, xa_proj, gru_x, onehot, qmask))
+
+    # Vertically stacked per-direction weights: input rows are laid out
+    # [x*m0 | x*(1-m0)], so forward rows hit the top block and backward
+    # rows the bottom block — no output select, no zero-block FLOPs beyond
+    # the modality merge.
+    G = jnp.concatenate([gWhh[0], gWhh[1]], axis=0)  # [2H, 3H]
+
+    def _k_comb(d):
+        # [4H, 8H]: rows (h_l, h_a, z, h_s) -> cols (sums_l | sums_a);
+        # K_l/K_a store rows in (h, z, s) order (concat in the cell).
+        zH = jnp.zeros((H, 4 * H), jnp.float32)
+        left = jnp.concatenate(
+            [K_l[d, :H], zH, K_l[d, H:2 * H], K_l[d, 2 * H:]], axis=0)
+        right = jnp.concatenate(
+            [zH, K_a[d, :H], K_a[d, H:2 * H], K_a[d, 2 * H:]], axis=0)
+        return jnp.concatenate([left, right], axis=1)
+
+    K = jnp.concatenate([_k_comb(0), _k_comb(1)], axis=0)  # [8H, 8H]
+
+    m0 = (jnp.arange(R) < Bp).astype(jnp.float32)[:, None]
+    rsel = lambda c: jnp.where(m0 > 0, c[0][None, :], c[1][None, :])
+    gb_rows = rsel(gbhh)                                    # [R, 3H]
+    b_rows = rsel(jnp.concatenate([b_l, b_a], axis=1))      # [R, 8H]
+    wq_rows = rsel(wq)                                      # [R, H]
+    wk_rows = rsel(wk)
+    wkmm = jnp.concatenate(
+        [rsel(jnp.max(wk, axis=1, keepdims=True)),
+         rsel(jnp.min(wk, axis=1, keepdims=True))], axis=1)  # [R, 2]
+
+    # attention i-chunk: keep the [R, IC, H] slab under ~4 MB f32
+    IC = H
+    while R * IC * H * 4 > 4 * 2 ** 20 and IC > 32:
+        IC //= 2
+    kernel = functools.partial(_kernel_bidir_stacked, H=H, IC=IC)
+    step_specs = [
+        pl.BlockSpec((1, R, 4 * H), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, R, 4 * H), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, R, 3 * H), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, R, P), lambda t: (t, 0, 0)),
+        pl.BlockSpec((1, R, P), lambda t: (t, 0, 0)),
+    ]
+    const_specs = [
+        pl.BlockSpec(G.shape, lambda t: (0, 0)),
+        pl.BlockSpec(gb_rows.shape, lambda t: (0, 0)),
+        pl.BlockSpec(K.shape, lambda t: (0, 0)),
+        pl.BlockSpec(b_rows.shape, lambda t: (0, 0)),
+        pl.BlockSpec(wq_rows.shape, lambda t: (0, 0)),
+        pl.BlockSpec(wk_rows.shape, lambda t: (0, 0)),
+        pl.BlockSpec(wkmm.shape, lambda t: (0, 0)),
+        pl.BlockSpec(m0.shape, lambda t: (0, 0)),
+    ]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, R, 4 * H), jnp.float32),
+        grid=(T,),
+        in_specs=step_specs + const_specs,
+        out_specs=pl.BlockSpec((1, R, 4 * H), lambda t: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((R, H), jnp.float32) for _ in range(7)
+        ],
+        interpret=interpret,
+    )(xl_r, xa_r, gx_r, oh_r, qm_r,
+      G, gb_rows, K, b_rows, wq_rows, wk_rows, wkmm, m0)
+    return out.reshape(T, 2, Bp, 4 * H)[:, :, :B]

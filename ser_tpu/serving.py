@@ -58,8 +58,18 @@ def export_model(model_name, params, L, B, *, n_classes=6,
     arg_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
                  for a in spec.make_inputs(
                      {k: jax.numpy.asarray(v) for k, v in probe.items()})]
-    exported = jax.export.export(
-        jax.jit(fwd), platforms=list(platforms))(*arg_specs)
+    # Force the scan recurrence during export: the ONLYSP_STACKED Pallas
+    # fast path is TPU-only Mosaic and cannot lower for the artifact's
+    # portable (cpu) platform; the scan is math-identical.
+    from ser_tpu import config
+
+    old_stacked = config.ONLYSP_STACKED
+    config.ONLYSP_STACKED = "off"
+    try:
+        exported = jax.export.export(
+            jax.jit(fwd), platforms=list(platforms))(*arg_specs)
+    finally:
+        config.ONLYSP_STACKED = old_stacked
 
     header = json.dumps({
         "model": model_name,

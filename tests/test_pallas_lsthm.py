@@ -99,3 +99,77 @@ def test_bidir_kernel_matches_fused_scan():
         init, seqs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ys),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_stacked_eval_path_matches_scan_full_model():
+    """config.ONLYSP_STACKED='interpret': the production eval fast path
+    (gather -> stacked kernel) == the fused-scan eval path, end to end
+    through MARN1OnlySP (encoders, seq attentions, head included)."""
+    from ser_tpu import config
+
+    L, B = 9, 3
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(L=L, B=B, seed=6).items() if k != "vid"}
+    textf = (batch["r1"] + batch["r2"] + batch["r3"] + batch["r4"]) / 4
+    x = jnp.concatenate([textf, batch["acouf"]], axis=-1)
+
+    model = MARN1OnlySP(n_classes=6)
+    key = jax.random.PRNGKey(3)
+    params = model.init(
+        {"params": key, "dropout": key},
+        x, batch["qmask"], batch["umask"], deterministic=True)["params"]
+
+    logp_scan = model.apply(
+        {"params": params}, x, batch["qmask"], batch["umask"],
+        deterministic=True)[0]
+
+    old = config.ONLYSP_STACKED
+    try:
+        config.ONLYSP_STACKED = "interpret"
+        logp_stacked = model.apply(
+            {"params": params}, x, batch["qmask"], batch["umask"],
+            deterministic=True)[0]
+    finally:
+        config.ONLYSP_STACKED = old
+
+    np.testing.assert_allclose(np.asarray(logp_stacked),
+                               np.asarray(logp_scan), rtol=1e-5, atol=1e-5)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("B", [3, 56])
+def test_bidir_stacked_kernel_matches_fused_scan(B):
+    """The ROW-stacked direction kernel == the direction-vmapped scan step.
+    B=3: per-direction pad to 8, single attention block; B=56: R=112
+    engages the attention i-chunking (IC=64)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ser_tpu.models.marn_onlysp import _eval_step
+    from ser_tpu.ops.pallas.lsthm import (
+        lsthm_onlysp_recurrence_bidir_stacked)
+
+    T, H = 9, 128
+    rng = np.random.default_rng(12)
+    f = lambda *s: jnp.asarray(rng.standard_normal(s).astype(np.float32) * 0.1)
+    sp = rng.integers(0, 2, size=(T, 2, B))
+    qm = np.zeros((T, 2, B, 2), np.float32)
+    qm[np.arange(T)[:, None, None], np.arange(2)[None, :, None],
+       np.arange(B)[None, None, :], sp] = 1
+    seqs = (f(T, 2, B, 4 * H), f(T, 2, B, 4 * H), f(T, 2, B, 3 * H),
+            jnp.asarray(qm))
+    consts = (f(2, 3 * H, 4 * H), f(2, 4 * H), f(2, 3 * H, 4 * H),
+              f(2, 4 * H), f(2, H, 3 * H), f(2, 3 * H), f(2, H), f(2, H))
+
+    out = lsthm_onlysp_recurrence_bidir_stacked(seqs, consts, interpret=True)
+
+    init = tuple(jnp.zeros((2, B, H)) for _ in range(5)) + (
+        jnp.zeros((2, B, 2, H)),)
+    _, ys = jax.lax.scan(
+        lambda c, xs: jax.vmap(_eval_step, in_axes=(0, 0, 0))(consts, c, xs),
+        init, seqs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ys),
+                               rtol=1e-5, atol=1e-5)
