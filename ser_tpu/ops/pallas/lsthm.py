@@ -508,9 +508,11 @@ def lsthm_onlysp_recurrence_bidir_stacked(seqs, consts,
         [rsel(jnp.max(wk, axis=1, keepdims=True)),
          rsel(jnp.min(wk, axis=1, keepdims=True))], axis=1)  # [R, 2]
 
-    # attention i-chunk: keep the [R, IC, H] slab under ~4 MB f32
+    # attention i-chunk: keep the [R, IC, H] slab under ~4.5 MB f32
+    # (R=64 — the bench eval shape — stays a single block; R=112 chunks
+    # to 64; R=160 to 32)
     IC = H
-    while R * IC * H * 4 > 4 * 2 ** 20 and IC > 32:
+    while R * IC * H * 4 > int(4.5 * 2 ** 20) and IC > 32:
         IC //= 2
     kernel = functools.partial(_kernel_bidir_stacked, H=H, IC=IC)
     step_specs = [
