@@ -14,26 +14,23 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 sys.path.insert(0, ".")
 
 
-def _timed(fn):
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
+import os as _os
+import sys as _sys
 
-
-def per_pass_seconds(loop_fn, iters=31, repeats=3):
-    float(loop_fn(1))  # compile + warm
-    t_long = min(_timed(lambda: float(loop_fn(iters))) for _ in range(repeats))
-    t_short = min(_timed(lambda: float(loop_fn(1))) for _ in range(repeats))
-    return max((t_long - t_short) / (iters - 1), 1e-9)
+_sys.path.insert(0, _os.path.join(
+    _os.path.dirname(_os.path.abspath(globals().get("__file__", "scripts/x")))))
+from _bench_util import per_pass_seconds  # noqa: E402
 
 
 def bench_shape(T, B):
     import jax
+
+    if _os.environ.get("SER_FORCE_CPU"):  # CPU smoke (tests / relay outage)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import numpy as np
 

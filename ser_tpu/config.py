@@ -90,6 +90,27 @@ def onlysp_stacked(B, P, dims_ok):
             and jax.default_backend() == "tpu")
 
 
+def force_scan():
+    """Context manager: trace with the scan recurrence regardless of
+    ONLYSP_STACKED. For surfaces where the single-device Pallas kernel
+    cannot lower — SPMD meshes (the partitioner cannot shard a
+    pallas_call) and portable jax.export lowering. Wrap the TRACE (the
+    first call of a jitted function), not just execution."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        global ONLYSP_STACKED
+        old = ONLYSP_STACKED
+        ONLYSP_STACKED = "off"
+        try:
+            yield
+        finally:
+            ONLYSP_STACKED = old
+
+    return _ctx()
+
+
 def drnn_fast2(B, P):
     """Static (trace-time) decision for the DialogueRNN P==2 fast path."""
     if DRNN_FAST2 == "auto":

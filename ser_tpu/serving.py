@@ -63,13 +63,11 @@ def export_model(model_name, params, L, B, *, n_classes=6,
     # portable (cpu) platform; the scan is math-identical.
     from ser_tpu import config
 
-    old_stacked = config.ONLYSP_STACKED
-    config.ONLYSP_STACKED = "off"
-    try:
+    with config.force_scan():
         exported = jax.export.export(
             jax.jit(fwd), platforms=list(platforms))(*arg_specs)
-    finally:
-        config.ONLYSP_STACKED = old_stacked
+
+    from ser_tpu.models.registry import _trimodal_inputs
 
     header = json.dumps({
         "model": model_name,
@@ -79,6 +77,10 @@ def export_model(model_name, params, L, B, *, n_classes=6,
         "B": B,
         "platforms": list(platforms),
         "logp_layout": getattr(spec, "logp_layout", "bt"),
+        # input-assembly convention, recorded so predict() needs no model
+        # code (the registry import pulls in the whole Flax zoo)
+        "inputs": ("trimodal" if spec.make_inputs is _trimodal_inputs
+                   else "marn1"),
     }).encode()
     blob = exported.serialize()
     return _MAGIC + struct.pack("<I", len(header)) + header + blob
@@ -111,13 +113,27 @@ class ServingModel:
         exported = jax.export.deserialize(bytearray(data[8 + hlen:]))
         return cls(header, exported)
 
-    @property
-    def spec(self):
-        if self._spec is None:
-            from ser_tpu.models.registry import get_model_spec
+    def _make_inputs(self, batch):
+        """Assemble the exported callable's positional args from a field
+        dict WITHOUT importing the model zoo (the artifact is
+        self-contained; the convention is recorded in the header). Mirrors
+        registry._marn1_inputs / _trimodal_inputs."""
+        import jax.numpy as jnp
 
-            self._spec = get_model_spec(self.header["model"])
-        return self._spec
+        kind = self.header.get("inputs")
+        if kind is None:  # legacy artifact: fall back to the registry
+            if self._spec is None:
+                from ser_tpu.models.registry import get_model_spec
+
+                self._spec = get_model_spec(self.header["model"])
+            return self._spec.make_inputs(batch)
+        textf = (batch["r1"] + batch["r2"] + batch["r3"] + batch["r4"]) / 4
+        if kind == "trimodal":
+            x = jnp.concatenate(
+                [textf[..., :100], batch["acouf"], batch["visuf"]], axis=-1)
+        else:
+            x = jnp.concatenate([textf, batch["acouf"]], axis=-1)
+        return (x, batch["qmask"], batch["umask"])
 
     def predict(self, batch):
         """batch: the standard field dict at any [l <= L, b <= B]; returns
@@ -149,7 +165,7 @@ class ServingModel:
                        + [(0, 0)] * (v.ndim - 2))
             padded[k] = np.pad(v, pad)
 
-        args = self.spec.make_inputs(
+        args = self._make_inputs(
             {k: jnp.asarray(v) for k, v in padded.items()})
         logp = np.asarray(self.exported.call(*args))
         C = logp.shape[-1]

@@ -49,6 +49,18 @@ def unflatten_into(params, flat, sep="/"):
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def _atomic_write(path, data: bytes):
+    """Write via tmp + os.replace so an interrupted save never truncates an
+    existing file — ``--resume latest``'s restart loop depends on
+    ``last.state`` either being the old complete state or the new one."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def save_train_state(path, params, opt_state, extra=None):
     """Full-resume checkpoint: params + optimizer state + scalar extras
     (epoch counter, dropout RNG key) in one .npz.
@@ -67,8 +79,7 @@ def save_train_state(path, params, opt_state, extra=None):
         flat["extra/" + k] = np.asarray(v)
     buf = io.BytesIO()
     np.savez(buf, **flat)
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    _atomic_write(path, buf.getvalue())
 
 
 def load_train_state(path, params, opt_state):
@@ -118,8 +129,7 @@ def save_parameters(params, path):
     flat = flatten_params(params)
     buf = io.BytesIO()
     np.savez(buf, **flat)
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    _atomic_write(path, buf.getvalue())
 
 
 def load_parameters(params, path, log=print):

@@ -213,19 +213,16 @@ class ModelTrainer:
         return params, opt_state, loss
 
     def _eval_step_impl(self, params, batch):
-        if self.mesh is not None:
-            # SPMD eval: force the scan recurrence — the ONLYSP_STACKED
-            # Pallas fast path is a single-device kernel the partitioner
-            # cannot shard (read at trace time; math-identical).
-            from ser_tpu import config
+        import contextlib
 
-            old = config.ONLYSP_STACKED
-            config.ONLYSP_STACKED = "off"
-            try:
-                logp = self._forward(params, batch, deterministic=True)
-            finally:
-                config.ONLYSP_STACKED = old
-        else:
+        from ser_tpu import config
+
+        # SPMD eval: force the scan recurrence — the ONLYSP_STACKED Pallas
+        # fast path is a single-device kernel the partitioner cannot shard
+        # (read at trace time; math-identical).
+        ctx = (config.force_scan() if self.mesh is not None
+               else contextlib.nullcontext())
+        with ctx:
             logp = self._forward(params, batch, deterministic=True)
         return jnp.argmax(logp, axis=1)
 

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 from ser_tpu.train import checkpoint as ckpt
 from ser_tpu.train.trainer import ModelTrainer
@@ -134,3 +135,31 @@ def test_resume_latest_resolution(tmp_path, capsys):
     os.makedirs(save, exist_ok=True)
     open(save + "/last.state", "wb").close()
     assert _resolve_resume("latest", save) == save + "/last.state"
+
+
+def test_saves_are_atomic(tmp_path, monkeypatch):
+    """An interrupted save must never truncate the existing file —
+    --resume latest's restart loop depends on last.state always being a
+    complete state (old or new)."""
+    import os
+
+    import ser_tpu.train.checkpoint as ck
+
+    path = str(tmp_path / "last.state")
+    with open(path, "wb") as f:
+        f.write(b"OLD-GOOD-STATE")
+
+    real_replace = os.replace
+
+    def crashing_replace(src, dst):
+        raise RuntimeError("preempted between write and publish")
+
+    monkeypatch.setattr(ck.os, "replace", crashing_replace)
+    with pytest.raises(RuntimeError):
+        ck._atomic_write(path, b"NEW-PARTIAL")
+    assert open(path, "rb").read() == b"OLD-GOOD-STATE"  # old file intact
+
+    monkeypatch.setattr(ck.os, "replace", real_replace)
+    ck._atomic_write(path, b"NEW-COMPLETE")
+    assert open(path, "rb").read() == b"NEW-COMPLETE"
+    assert not os.path.exists(path + ".tmp")

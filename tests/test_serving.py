@@ -116,3 +116,21 @@ def test_serve_cli_export_then_run(tmp_path, capsys):
     report = json.loads(out[out.find("{"):])
     assert np.isfinite(report["weighted_accuracy"])
     assert report["n_utterances"] > 0
+
+
+def test_predict_needs_no_model_code(tmp_path):
+    """The artifact is self-contained: predict() assembles inputs from the
+    header's recorded convention and never touches the model registry
+    (serving a .ser file must not require the Flax zoo)."""
+    spec, model, params = _trained_params()
+    path = str(tmp_path / "m.ser")
+    save_model(path, "MARN1_onlysp", params, L, B, platforms=("cpu",))
+
+    served = ServingModel.load(path)
+    assert served.header["inputs"] == "marn1"
+    batch = {k: v for k, v in
+             synthetic_batch(L=L, B=B, seed=9).items() if k != "vid"}
+    out = served.predict(batch)
+    assert out["preds"].shape == (B, L)
+    # the registry fallback (legacy artifacts only) was never consulted
+    assert served._spec is None
