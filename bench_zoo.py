@@ -1,12 +1,15 @@
-"""Per-model eval-throughput benchmark across the zoo.
+"""Per-model throughput benchmark across the zoo (eval and train).
 
 Not run by the driver (bench.py is the canonical single-line benchmark);
-this tool profiles any subset of the registry at the IEMOCAP eval shape.
+this tool profiles any subset of the registry — eval at the IEMOCAP eval
+shape, or (``--train``) the full train step (fwd+bwd+Adam) at the
+reference train shape [L=110, B=80].
 
 Usage:
     python bench_zoo.py [--models MARN1_onlysp DialogueRNN ...] [--iters 20]
     python bench_zoo.py --save baselines/zoo_r02.json     # record a baseline
     python bench_zoo.py --check baselines/zoo_r02.json    # diff vs baseline
+    python bench_zoo.py --train --save baselines/zoo_train_r03.json
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ import time
 
 import numpy as np
 
-from bench import iemocap_eval_batch
+from bench import iemocap_eval_batch, synthetic_like_train
 
 
 def bench_model(name, batch, n_utts, iters=20):
@@ -74,7 +77,89 @@ def bench_model(name, batch, n_utts, iters=20):
     }
 
 
+def bench_model_train(name, batch, n_utts, iters=10):
+    """Full train step (fwd+bwd+torch-Adam) per pass, trainer conventions:
+    masked double-log-softmax loss, per-step dropout keys split on-device."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ser_tpu.models.registry import get_model_spec
+    from ser_tpu.train.losses import masked_loss
+    from ser_tpu.train.optim import torch_adam
+
+    spec = get_model_spec(name)
+    n_classes = 7 if name == "MARN_AT" else 6
+    model = spec.build(n_classes, "IEMOCAP")
+    dbatch = {k: jnp.asarray(v) for k, v in batch.items() if k != "vid"}
+    args = spec.make_inputs(dbatch)
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "dropout": key}, *args,
+                        deterministic=True)["params"]
+    if spec.logp_layout == "tb":  # time-major rows (MARN_AT/ATV)
+        labels, umask = dbatch["label"].T.reshape(-1), dbatch["umask"].T
+    else:
+        labels, umask = dbatch["label"].reshape(-1), dbatch["umask"]
+    tx = torch_adam()
+    opt0 = tx.init(params)
+
+    def train_step(p, o, x, rng):
+        def loss_fn(pp):
+            out = model.apply({"params": pp}, x, *args[1:],
+                              deterministic=False, rngs={"dropout": rng})
+            return masked_loss(spec.extract_logp(out), labels, umask)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        o.hyperparams["learning_rate"] = jnp.float32(1e-3)
+        upd, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, upd), o, loss
+
+    def loop(p, o, x, rng, k):
+        def body(i, carry):
+            pp, oo, r = carry
+            r, sub = jax.random.split(r)
+            pp, oo, _ = train_step(pp, oo, x, sub)
+            return (pp, oo, r)
+        out = jax.lax.fori_loop(0, k, body, (p, o, rng))
+        return sum(l.sum() for l in jax.tree_util.tree_leaves(out[0]))
+
+    lj = jax.jit(loop, static_argnums=4)
+    rng0 = jax.random.PRNGKey(2)
+    t0 = time.perf_counter()
+    float(lj(params, opt0, args[0], rng0, 1))
+    compile_s = time.perf_counter() - t0
+
+    float(lj(params, opt0, args[0], rng0, iters + 1))  # warm the long k
+    t0 = time.perf_counter()
+    float(lj(params, opt0, args[0], rng0, iters + 1))
+    est = (time.perf_counter() - t0) / (iters + 1)
+    iters = max(iters, min(int(0.3 / max(est, 1e-7)), 500))
+
+    tl, ts = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(lj(params, opt0, args[0], rng0, iters + 1))
+        tl.append(time.perf_counter() - t0)
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(lj(params, opt0, args[0], rng0, 1))
+        ts.append(time.perf_counter() - t0)
+    sec = max((min(tl) - min(ts)) / iters, 1e-9)
+    return {
+        "ms_per_step": round(sec * 1e3, 3),
+        "utterances_per_sec": round(n_utts / sec, 1),
+        "compile_s": round(compile_s, 1),
+    }
+
+
 def main():
+    import os
+
+    if os.environ.get("SER_FORCE_CPU"):  # CPU smoke (tests / relay outage)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from ser_tpu.models.registry import available_models
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -89,13 +174,25 @@ def main():
                    help="fail --check below this ratio (0.9 = 10%% drop; "
                         "PERF.md documents ±4–8%% host-load spread, so 0.9 "
                         "catches real regressions while tolerating noise)")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the full train step (fwd+bwd+Adam) at "
+                        "the reference train shape [110, 80] instead of "
+                        "the eval forward")
     args = p.parse_args()
 
-    batch, n_utts = iemocap_eval_batch()
+    if args.train:
+        batch = synthetic_like_train(seed=1)
+        n_utts = int(np.sum(batch["umask"]))
+        bench_fn = bench_model_train
+        iters = max(1, args.iters // 2)
+    else:
+        batch, n_utts = iemocap_eval_batch()
+        bench_fn = bench_model
+        iters = args.iters
     results = {}
     for name in (args.models or available_models()):
         try:
-            results[name] = bench_model(name, batch, n_utts, args.iters)
+            results[name] = bench_fn(name, batch, n_utts, iters)
         except Exception as e:  # keep going; report the failure
             results[name] = {"error": f"{type(e).__name__}: {e}"}
         print(json.dumps({name: results[name]}), flush=True)
