@@ -220,5 +220,39 @@ def main():
     )
 
 
+def _probe_backend(timeout_s=600):
+    """Fail fast (with an explicit JSON error line) when the axon backend
+    cannot even initialize — observed r3: a relay outage makes
+    jax.devices() hang >10 min in backend setup, which would hang the
+    whole benchmark run forever. Backend INIT is probed in a subprocess
+    with a timeout; a slow first COMPILE (5-25 min on a cold relay cache)
+    happens after init and is unaffected."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if r.returncode == 0 and "ok" in r.stdout:
+            return True
+        err = (r.stderr or r.stdout).strip().splitlines()
+        reason = err[-1][:200] if err else f"exit {r.returncode}"
+    except subprocess.TimeoutExpired:
+        reason = f"backend init exceeded {timeout_s}s (relay outage?)"
+    print(json.dumps({
+        "metric": "eval_utterances_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "utterances/sec/chip",
+        "vs_baseline": 0.0,
+        "error": f"backend unavailable: {reason}",
+    }))
+    return False
+
+
 if __name__ == "__main__":
-    main()
+    if _probe_backend():
+        main()
+    else:
+        raise SystemExit(1)
