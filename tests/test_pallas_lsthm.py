@@ -173,3 +173,37 @@ def test_bidir_stacked_kernel_matches_fused_scan(B):
         init, seqs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ys),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_onlysp_stacked_gate():
+    """config.onlysp_stacked: off/on/auto decisions (auto requires the TPU
+    backend, so it is False under the CPU test runner regardless of shape)."""
+    from ser_tpu import config
+
+    old = config.ONLYSP_STACKED
+    try:
+        config.ONLYSP_STACKED = "off"
+        assert not config.onlysp_stacked(31, 2, True)
+        config.ONLYSP_STACKED = "on"
+        assert config.onlysp_stacked(31, 2, True)
+        assert not config.onlysp_stacked(31, 3, True)   # P != 2
+        assert not config.onlysp_stacked(31, 2, False)  # dims off
+        config.ONLYSP_STACKED = "auto"
+        # CPU backend here: the auto gate must refuse even at good shapes
+        assert not config.onlysp_stacked(31, 2, True)
+    finally:
+        config.ONLYSP_STACKED = old
+
+
+def test_force_scan_context():
+    from ser_tpu import config
+
+    old = config.ONLYSP_STACKED
+    try:
+        config.ONLYSP_STACKED = "on"
+        with config.force_scan():
+            assert config.ONLYSP_STACKED == "off"
+            assert not config.onlysp_stacked(31, 2, True)
+        assert config.ONLYSP_STACKED == "on"
+    finally:
+        config.ONLYSP_STACKED = old
