@@ -32,6 +32,26 @@ shapes that matter and has no VMEM ceiling. The kernel remains OPT-IN
 (``MARNCellOnlySP(pallas='on')``, single-direction only) as validated
 infrastructure and the only configuration where Pallas wins (unfused
 single-direction eval).
+
+ROUND-3 earn-or-retire matrix for the ROW-STACKED bidirectional variant
+(``lsthm_onlysp_recurrence_bidir_stacked``; both directions folded onto
+the row axis of ONE kernel, vertically-stacked per-direction weights,
+merged modality matmuls, i-chunked attention slab). Measured v5e-1,
+T=110, f32 (scripts/bench_pallas_stacked.py, 2026-08-18):
+
+  B=31:  stacked 1.63 ms  vs  fused scan 1.30 ms  (scan wins 1.25x);
+         direction-loop variant 1.67 ms; maxerr vs scan 2.0e-4.
+  B=80:  stacked FAILS to compile on real TPU (remote tpu_compile_helper
+         exit 1 — the R=160-row staged inputs + [R, IC, H] attention slab
+         exceed what Mosaic can place; interpret-mode parity still passes);
+         direction-loop 3.96 ms vs scan 3.02 ms.
+
+Verdict: RETIRED from the default path like its siblings —
+``config.ONLYSP_STACKED`` stays "off" (opt-in, parity-pinned in
+tests/test_pallas_lsthm.py). The stacking eliminated the vmap'd kernel
+launch and the zero-block FLOPs, but the per-grid-step DMA/scheduling
+overhead Mosaic pays per utterance step still exceeds what the XLA scan
+pays per step, and VMEM staging caps batch far below production shapes.
 """
 
 from __future__ import annotations
