@@ -77,6 +77,27 @@ ENCODER_ATTENTION = "mha"
 # ---------------------------------------------------------------------------
 ONLYSP_STACKED = "off"
 
+# ---------------------------------------------------------------------------
+# Pair-batched post-recurrence tail for the MARN1_onlysp / MARN1_sps heads
+# (ops/attention.py::paired_attention_tail): the two structurally identical
+# sequence-attention chains of the head ride a leading pair axis, so each
+# stage is 4 batched einsums + one softmax instead of 8 small ops. Math is
+# identical (the pair members never interact); at train time the attention-
+# dropout RNG stream differs from the sequential form (one draw per stage
+# over [2, B, L, L]) but is distributionally identical — the same contract
+# as the fused-directions scan.
+#   "auto": use the measured production default | True / False: force (tests)
+# ---------------------------------------------------------------------------
+TAIL_PAIRED = "auto"
+_TAIL_PAIRED_AUTO = False  # flipped by the round-4 TPU A/B if it wins
+
+
+def tail_paired():
+    """Static (trace-time) decision for the pair-batched head tail."""
+    if TAIL_PAIRED == "auto":
+        return _TAIL_PAIRED_AUTO
+    return bool(TAIL_PAIRED)
+
 
 def onlysp_stacked(B, P, dims_ok):
     """Static (trace-time) decision for the stacked eval kernel."""

@@ -30,6 +30,7 @@ from ser_tpu.ops import init as tinit
 from ser_tpu.ops.attention import (
     CrossAttentionReSeq,
     CrossAttentionSeq,
+    paired_attention_tail,
     rank1_cross_attention,
 )
 from ser_tpu.ops.cells import (
@@ -363,18 +364,23 @@ class MARN1OnlySP(nn.Module):
         v1 = self.param("v1", tinit.ones, (1,))
         v2 = self.param("v2", tinit.ones, (1,))
 
-        attn1 = CrossAttentionSeq(name="crossatt_l2a")(
-            w * x_l, v * x_a, deterministic
-        )
-        attn2 = CrossAttentionSeq(name="crossatt_a2l")(
-            v * x_a, w * x_l, deterministic
-        )
-        attn1 = CrossAttentionReSeq(name="crossatt_l2a_1")(
-            v * x_a, v1 * attn1, deterministic
-        )
-        attn2 = CrossAttentionReSeq(name="crossatt_a2l_1")(
-            w * x_l, v2 * attn2, deterministic
-        )
+        seq_mods = (CrossAttentionSeq(name="crossatt_l2a"),
+                    CrossAttentionSeq(name="crossatt_a2l"))
+        reseq_mods = (CrossAttentionReSeq(name="crossatt_l2a_1"),
+                      CrossAttentionReSeq(name="crossatt_a2l_1"))
+        if config.tail_paired():
+            # Pair-batched tail: both chains of each stage as ONE batched
+            # einsum set (identical math; ops/attention.py).
+            rngs = ((None, None) if deterministic else
+                    tuple(jax.random.split(self.make_rng("dropout"))))
+            attn1, attn2 = paired_attention_tail(
+                seq_mods, reseq_mods, w * x_l, v * x_a, v1, v2,
+                deterministic, rngs)
+        else:
+            attn1 = seq_mods[0](w * x_l, v * x_a, deterministic)
+            attn2 = seq_mods[1](v * x_a, w * x_l, deterministic)
+            attn1 = reseq_mods[0](v * x_a, v1 * attn1, deterministic)
+            attn2 = reseq_mods[1](w * x_l, v2 * attn2, deterministic)
 
         feats = jnp.concatenate([h, attn1, attn2], axis=-1)  # [L, B, 1280]
         out = TorchLinear(32, name="nn_out_0")(feats)

@@ -203,10 +203,15 @@ class CrossAttentionSeq(nn.Module):
     attn_dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x1, x2, deterministic: bool = True):
+    def __call__(self, x1, x2, deterministic: bool = True,
+                 mode: str = "run"):
         wq = self.param("Wq", tinit.ones, (self.dh, self.dk))
         wk = self.param("Wk", tinit.ones, (self.dh, self.dk))
         wv = self.param("Wv", tinit.ones, (self.dh, self.dv))
+        if mode == "gather":
+            # expose params so the caller can run the pair-batched tail
+            # (paired_attention_tail) with this module's weights.
+            return wq, wk, wv
 
         x1b = jnp.swapaxes(x1, 0, 1)  # [B, L1, D1]
         x2b = jnp.swapaxes(x2, 0, 1)  # [B, L2, D2]
@@ -232,10 +237,13 @@ class CrossAttentionReSeq(nn.Module):
     attn_dropout: float = 0.2
 
     @nn.compact
-    def __call__(self, x1, x2, deterministic: bool = True):
+    def __call__(self, x1, x2, deterministic: bool = True,
+                 mode: str = "run"):
         wq = self.param("Wq", tinit.ones, (self.dh, self.dk))
         wk = self.param("Wk", tinit.ones, (self.dk, self.dk))
         wv = self.param("Wv", tinit.ones, (self.dv, self.dv))
+        if mode == "gather":
+            return wq, wk, wv
 
         x1b = jnp.swapaxes(x1, 0, 1)
         x2b = jnp.swapaxes(x2, 0, 1)
@@ -248,6 +256,67 @@ class CrossAttentionReSeq(nn.Module):
         attn = Dropout(self.attn_dropout, name="drop")(attn, deterministic)
         out = jnp.einsum("bqk,bkd->bqd", attn, v)
         return jnp.swapaxes(out, 0, 1)
+
+
+def paired_attention_tail(seq_mods, reseq_mods, x_first, x_second, v1, v2,
+                          deterministic=True, rngs=(None, None),
+                          attn_dropout=0.2):
+    """The flagship/sps post-recurrence tail as PAIR-BATCHED attention.
+
+    The reference head (``lsthm_onlysp.py:287-293``) runs two structurally
+    identical attention chains with different weights:
+
+        attn1 = Seq(w*x_l, v*x_a);  attn1 = ReSeq(v*x_a, v1*attn1)
+        attn2 = Seq(v*x_a, w*x_l);  attn2 = ReSeq(w*x_l, v2*attn2)
+
+    Sequentially that is 8 small attention ops on [B, L, 100/128] operands.
+    Here both chains of a stage ride a leading pair axis, so each stage is
+    4 batched einsums + one softmax — identical math (the pair members
+    never interact; maxerr == 0 vs the sequential form, pinned in
+    tests/test_paired_tail.py). Gated by ``config.TAIL_PAIRED``; the
+    standalone A/B measurement is scripts/profile_posthead.py.
+
+    Args:
+      seq_mods: (crossatt_l2a, crossatt_a2l) CrossAttentionSeq modules
+        (params gathered via ``mode="gather"``).
+      reseq_mods: (crossatt_l2a_1, crossatt_a2l_1) CrossAttentionReSeq.
+      x_first: w * x_l, time-major [L, B, dh].
+      x_second: v * x_a, time-major [L, B, dh].
+      v1, v2: the stage-2 input scale params (shape [1]).
+      rngs: two dropout keys (stage 1, stage 2) when not deterministic —
+        one draw per stage over the stacked [2, B, L, L] attention (the
+        RNG stream differs from the sequential form but is
+        distributionally identical, same as the fused-directions scan).
+
+    Returns:
+      (attn1, attn2) time-major [L, B, dv].
+    """
+    Wq1, Wk1, Wv1 = seq_mods[0](x_first, x_second, mode="gather")
+    Wq2, Wk2, Wv2 = seq_mods[1](x_second, x_first, mode="gather")
+    Rq1, Rk1, Rv1 = reseq_mods[0](x_second, x_first, mode="gather")
+    Rq2, Rk2, Rv2 = reseq_mods[1](x_first, x_second, mode="gather")
+    dk = Wq1.shape[1]
+
+    def pair_attn(x1s, x2s, Wq, Wk, Wv, rng):
+        # x1s/x2s: [2, B, L, D*] batch-major; W*: [2, D*, DK]
+        q = jnp.einsum("sbld,sdk->sblk", x1s, Wq)
+        k = jnp.einsum("sbld,sdk->sblk", x2s, Wk)
+        v = jnp.einsum("sbld,sdk->sblk", x2s, Wv)
+        attn = jax.nn.softmax(
+            jnp.einsum("sbqd,sbkd->sbqk", q / (dk ** 0.5), k), axis=-1)
+        attn = dropout(attn, attn_dropout, deterministic, rng)
+        return jnp.einsum("sbqk,sbkd->sbqd", attn, v)
+
+    xf = jnp.swapaxes(x_first, 0, 1)   # [B, L, dh]
+    xs = jnp.swapaxes(x_second, 0, 1)
+    s1 = pair_attn(jnp.stack([xf, xs]), jnp.stack([xs, xf]),
+                   jnp.stack([Wq1, Wq2]), jnp.stack([Wk1, Wk2]),
+                   jnp.stack([Wv1, Wv2]), rngs[0])
+    vs = jnp.stack([v1, v2]).reshape(2, 1, 1, 1)
+    s2 = pair_attn(jnp.stack([xs, xf]), vs * s1,
+                   jnp.stack([Rq1, Rq2]), jnp.stack([Rk1, Rk2]),
+                   jnp.stack([Rv1, Rv2]), rngs[1])
+    return jnp.swapaxes(s2[0], 0, 1), jnp.swapaxes(s2[1], 0, 1)
 
 
 class CrossAttentionSeqLN(nn.Module):

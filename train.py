@@ -14,12 +14,18 @@ Extra flags over the reference:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import warnings
 from collections import defaultdict
 
 import numpy as np
+
+if os.environ.get("SER_FORCE_CPU"):  # CPU smoke (tests / relay outage)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from ser_tpu.data.loaders import get_loaders
 from ser_tpu.models.registry import available_models
