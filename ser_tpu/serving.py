@@ -12,15 +12,22 @@ StableHLO artifact (``jax.export``):
   load time (only an XLA compile of already-lowered StableHLO);
 - **multi-platform** — lowered for both ``tpu`` and ``cpu`` by default, so
   the same artifact serves on a v5e chip and in CPU CI;
-- **fixed-shape with a padding contract** — the export pins [L, B]; the
+- **fixed-shape with a padding contract** — each export pins [L, B]; the
   serving wrapper pads smaller batches up and unpads results. Padding
   changes nothing for batch rows (independent) and matches the
   reference's own eval semantics over padded timesteps (its sequence
   attentions attend over padding too — the documented batch-composition
-  quirk).
+  quirk);
+- **bucketed** — one artifact can carry several [L, B] shape buckets
+  (e.g. B ∈ {1, 8, 32, 80} at L=110); ``ServingModel.predict`` picks the
+  smallest admitting bucket, so a 1-dialogue query pays ~B=1 latency
+  instead of the full-export batch cost (PERF.md batch sweep: 0.93 ms at
+  B=16 vs 4.57 ms at B=80 on v5e).
 
-File format: ``SER1`` magic + u32 header length + JSON header (model
-name, shapes, arg layout) + the ``jax.export`` blob.
+File format v2: ``SER2`` magic + u32 header length + JSON header (model
+name, bucket shapes, arg layout) + per-bucket ``u64 length + jax.export
+blob`` sections, ordered as ``header["buckets"]``. Legacy ``SER1``
+single-blob artifacts still load.
 """
 
 from __future__ import annotations
@@ -28,7 +35,18 @@ from __future__ import annotations
 import json
 import struct
 
-_MAGIC = b"SER1"
+_MAGIC = b"SER2"
+_MAGIC_V1 = b"SER1"
+
+
+def _as_buckets(L, B):
+    """Normalize (L, B) — each an int or a sequence — into sorted (L, B)
+    bucket tuples, smallest padded area first (the selection order)."""
+    Ls = [int(L)] if isinstance(L, int) else [int(x) for x in L]
+    Bs = [int(B)] if isinstance(B, int) else [int(x) for x in B]
+    buckets = sorted({(l, b) for l in Ls for b in Bs},
+                     key=lambda lb: (lb[0] * lb[1], lb[1], lb[0]))
+    return buckets
 
 
 def export_model(model_name, params, L, B, *, n_classes=6,
@@ -36,9 +54,12 @@ def export_model(model_name, params, L, B, *, n_classes=6,
     """Export the deterministic eval forward to a serialized artifact.
 
     Returns ``bytes``. ``params`` are closed over (baked into the artifact
-    as constants). The exported callable maps ``spec.make_inputs(batch)``
-    arrays at the pinned [L, B] to ``[B*L, C]`` log-probs
-    (``spec.extract_logp`` layout).
+    as constants). ``L``/``B`` may each be an int or a sequence — the
+    cross product becomes the artifact's shape buckets (one ``jax.export``
+    blob per bucket; export is a trace+lower, the XLA compile happens
+    lazily per bucket at first serve). Each exported callable maps
+    ``spec.make_inputs(batch)`` arrays at its pinned [L, B] to ``[B*L, C]``
+    log-probs (``spec.extract_logp`` layout).
     """
     import jax
 
@@ -52,29 +73,38 @@ def export_model(model_name, params, L, B, *, n_classes=6,
         out = model.apply({"params": params}, *args, deterministic=True)
         return spec.extract_logp(out)
 
-    probe = {k: v for k, v in
-             synthetic_batch(L=L, B=B, n_classes=n_classes).items()
-             if k != "vid"}
-    arg_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype)
-                 for a in spec.make_inputs(
-                     {k: jax.numpy.asarray(v) for k, v in probe.items()})]
+    buckets = _as_buckets(L, B)
     # Force the scan recurrence during export: the ONLYSP_STACKED Pallas
     # fast path is TPU-only Mosaic and cannot lower for the artifact's
     # portable (cpu) platform; the scan is math-identical.
     from ser_tpu import config
 
+    blobs = []
     with config.force_scan():
-        exported = jax.export.export(
-            jax.jit(fwd), platforms=list(platforms))(*arg_specs)
+        for (l, b) in buckets:
+            probe = {k: v for k, v in
+                     synthetic_batch(L=l, B=b, n_classes=n_classes).items()
+                     if k != "vid"}
+            arg_specs = [
+                jax.ShapeDtypeStruct(a.shape, a.dtype)
+                for a in spec.make_inputs(
+                    {k: jax.numpy.asarray(v) for k, v in probe.items()})]
+            exported = jax.export.export(
+                jax.jit(fwd), platforms=list(platforms))(*arg_specs)
+            blobs.append(exported.serialize())
 
     from ser_tpu.models.registry import _trimodal_inputs
 
+    max_l, max_b = max(l for l, _ in buckets), max(b for _, b in buckets)
     header = json.dumps({
         "model": model_name,
         "n_classes": n_classes,
         "dataset": dataset,
-        "L": L,
-        "B": B,
+        # legacy fields = the largest admittable shape (back-compat for
+        # readers of the v1 header; serve.py's loader batch size)
+        "L": max_l,
+        "B": max_b,
+        "buckets": [list(lb) for lb in buckets],
         "platforms": list(platforms),
         "logp_layout": getattr(spec, "logp_layout", "bt"),
         # input-assembly convention, recorded so predict() needs no model
@@ -82,8 +112,11 @@ def export_model(model_name, params, L, B, *, n_classes=6,
         "inputs": ("trimodal" if spec.make_inputs is _trimodal_inputs
                    else "marn1"),
     }).encode()
-    blob = exported.serialize()
-    return _MAGIC + struct.pack("<I", len(header)) + header + blob
+    out = [_MAGIC, struct.pack("<I", len(header)), header]
+    for blob in blobs:
+        out.append(struct.pack("<Q", len(blob)))
+        out.append(blob)
+    return b"".join(out)
 
 
 def save_model(path, *args, **kwargs):
@@ -93,11 +126,20 @@ def save_model(path, *args, **kwargs):
 
 
 class ServingModel:
-    """Load an exported artifact and serve padded-batch predictions."""
+    """Load an exported artifact and serve padded-batch predictions.
 
-    def __init__(self, header, exported):
+    ``self.buckets`` is the admitted shape list ``[(L, B), ...]`` sorted
+    smallest padded area first; ``predict`` picks the first bucket that
+    admits the query, so small queries pay small-shape latency.
+    ``self.last_bucket`` records the (L, B) the most recent predict used.
+    """
+
+    def __init__(self, header, exported_by_bucket):
         self.header = header
-        self.exported = exported
+        self.buckets = [tuple(lb) for lb in header.get(
+            "buckets", [[header["L"], header["B"]]])]
+        self._exported = dict(zip(self.buckets, exported_by_bucket))
+        self.last_bucket = None
         self._spec = None
 
     @classmethod
@@ -106,11 +148,24 @@ class ServingModel:
 
         with open(path, "rb") as f:
             data = f.read()
+        if data[:4] == _MAGIC_V1:  # legacy single-blob artifact
+            (hlen,) = struct.unpack("<I", data[4:8])
+            header = json.loads(data[8:8 + hlen].decode())
+            header.setdefault("buckets", [[header["L"], header["B"]]])
+            exported = [jax.export.deserialize(bytearray(data[8 + hlen:]))]
+            return cls(header, exported)
         if data[:4] != _MAGIC:
             raise ValueError(f"{path}: not a ser_tpu serving artifact")
         (hlen,) = struct.unpack("<I", data[4:8])
         header = json.loads(data[8:8 + hlen].decode())
-        exported = jax.export.deserialize(bytearray(data[8 + hlen:]))
+        off = 8 + hlen
+        exported = []
+        for _ in header["buckets"]:
+            (blen,) = struct.unpack("<Q", data[off:off + 8])
+            off += 8
+            exported.append(
+                jax.export.deserialize(bytearray(data[off:off + blen])))
+            off += blen
         return cls(header, exported)
 
     def _make_inputs(self, batch):
@@ -138,20 +193,25 @@ class ServingModel:
     def predict(self, batch):
         """batch: the standard field dict at any [l <= L, b <= B]; returns
         ``{"logp": [b, l, C] (valid rows), "preds": [b, l]}`` with padding
-        removed. Contract: equals running the checkpoint on the same
-        batch PADDED to the artifact's [L, B] (the reference's own eval
-        batch-composition semantics) up to compile-pipeline float noise
-        (~1e-5 relative: the exported StableHLO re-compiles through a
-        slightly different optimization pipeline than in-process jit)."""
+        removed. The SMALLEST admitting bucket is used (recorded in
+        ``self.last_bucket``). Contract: equals running the checkpoint on
+        the same batch PADDED to that bucket's [L, B] (the reference's own
+        eval batch-composition semantics) up to compile-pipeline float
+        noise (~1e-5 relative: the exported StableHLO re-compiles through
+        a slightly different optimization pipeline than in-process jit)."""
         import jax.numpy as jnp
         import numpy as np
 
-        L, B = self.header["L"], self.header["B"]
         umask = np.asarray(batch["umask"])
         b, l = umask.shape
-        if l > L or b > B:
+        admitting = [lb for lb in self.buckets
+                     if l <= lb[0] and b <= lb[1]]
+        if not admitting:
+            Lm, Bm = self.header["L"], self.header["B"]
             raise ValueError(
-                f"batch [{l}, {b}] exceeds the exported shape [{L}, {B}]")
+                f"batch [{l}, {b}] exceeds the exported shape [{Lm}, {Bm}]")
+        L, B = admitting[0]  # buckets sorted smallest padded area first
+        self.last_bucket = (L, B)
 
         padded = {}
         for k, v in batch.items():
@@ -167,7 +227,7 @@ class ServingModel:
 
         args = self._make_inputs(
             {k: jnp.asarray(v) for k, v in padded.items()})
-        logp = np.asarray(self.exported.call(*args))
+        logp = np.asarray(self._exported[(L, B)].call(*args))
         C = logp.shape[-1]
         if self.header.get("logp_layout") == "tb":  # time-major rows
             logp = np.transpose(logp.reshape(L, B, C), (1, 0, 2))

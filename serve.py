@@ -20,20 +20,26 @@ import json
 from ser_tpu.models.registry import available_models
 
 
+def _int_list(s):
+    """'80' -> [80]; '1,8,32,80' -> [1, 8, 32, 80] (shape buckets)."""
+    return [int(x) for x in str(s).split(",") if x != ""]
+
+
 def cmd_export(args):
     from ser_tpu import config
-    from ser_tpu.serving import save_model
+    from ser_tpu.serving import _as_buckets, save_model
     from ser_tpu.train.trainer import ModelTrainer
 
     config.ENCODER_ATTENTION = args.encoder_attention
     trainer = ModelTrainer(res_csv_path=None, **vars(args))
     trainer.load_parameters(args.initial_model,
                             torch_format=args.torch_format)
-    save_model(args.out, args.model, trainer.params, args.L, args.B,
+    Ls, Bs = _int_list(args.L), _int_list(args.B)
+    save_model(args.out, args.model, trainer.params, Ls, Bs,
                n_classes=args.n_classes, dataset=args.dataset,
                platforms=tuple(args.platforms.split(",")))
     print(json.dumps({"artifact": args.out, "model": args.model,
-                      "L": args.L, "B": args.B,
+                      "buckets": [list(lb) for lb in _as_buckets(Ls, Bs)],
                       "platforms": args.platforms}))
 
 
@@ -82,7 +88,70 @@ def cmd_run(args):
     }, indent=2))
 
 
+def cmd_bench(args):
+    """Per-bucket serving latency (the artifact's latency story).
+
+    Methodology matches bench.py: the relay backend's block_until_ready is
+    a no-op, so each bucket's exported call is chained K times on-device
+    inside a jitted fori_loop with a tiny data dependency; per-call
+    latency = (t_K - t_1)/(K - 1), min of 3 windows."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ser_tpu.data.synthetic import synthetic_batch
+    from ser_tpu.serving import ServingModel
+
+    served = ServingModel.load(args.artifact)
+    h = served.header
+    rows = {}
+    for (L, B) in served.buckets:
+        batch = {k: jnp.asarray(v) for k, v in
+                 synthetic_batch(L=L, B=B,
+                                 n_classes=h["n_classes"]).items()
+                 if k != "vid"}
+        fargs = served._make_inputs(batch)
+        call = served._exported[(L, B)].call
+
+        def loop(x, rest, k):
+            def body(i, acc):
+                return jnp.sum(call(x + 1e-30 * acc, *rest))
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        lj = jax.jit(loop, static_argnums=2)
+        float(lj(fargs[0], fargs[1:], 1))  # compile + warm
+        iters = args.iters
+        float(lj(fargs[0], fargs[1:], iters + 1))  # warm the long k
+        tl, ts = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(lj(fargs[0], fargs[1:], iters + 1))
+            tl.append(time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(lj(fargs[0], fargs[1:], 1))
+            ts.append(time.perf_counter() - t0)
+        sec = max((min(tl) - min(ts)) / iters, 1e-9)
+        n_utts = float(np.sum(np.asarray(batch["umask"])))
+        rows[f"L{L}_B{B}"] = {
+            "ms_per_call": round(sec * 1e3, 3),
+            "utterances_per_sec": round(n_utts / sec, 1),
+        }
+    print(json.dumps({"artifact": args.artifact, "model": h["model"],
+                      "backend": jax.default_backend(),
+                      "buckets": rows}, indent=2))
+
+
 def main(argv=None):
+    import os
+
+    if os.environ.get("SER_FORCE_CPU"):  # CPU smoke (tests / relay outage)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     p = argparse.ArgumentParser(description="ser_tpu AOT serving")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -93,10 +162,12 @@ def main(argv=None):
                     help=" / ".join(available_models()))
     pe.add_argument("--dataset", type=str, default="IEMOCAP")
     pe.add_argument("--n_classes", type=int, default=6)
-    pe.add_argument("--L", type=int, default=110,
-                    help="max dialogue length the artifact serves")
-    pe.add_argument("--B", type=int, default=80,
-                    help="max batch of dialogues the artifact serves")
+    pe.add_argument("--L", type=str, default="110",
+                    help="dialogue-length bucket(s), comma-separated "
+                         "(e.g. 110 or 32,110)")
+    pe.add_argument("--B", type=str, default="1,8,32,80",
+                    help="batch-size bucket(s), comma-separated; predict "
+                         "picks the smallest admitting bucket")
     pe.add_argument("--seed", type=int, default=111)
     pe.add_argument("--platforms", type=str, default="tpu,cpu")
     pe.add_argument("--torch_format", action="store_true")
@@ -113,6 +184,11 @@ def main(argv=None):
     pr.add_argument("--seed", type=int, default=111)
     pr.add_argument("--synthetic", action="store_true")
     pr.set_defaults(fn=cmd_run)
+
+    pb = sub.add_parser("bench", help="per-bucket serving latency")
+    pb.add_argument("--artifact", type=str, required=True)
+    pb.add_argument("--iters", type=int, default=50)
+    pb.set_defaults(fn=cmd_bench)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -118,6 +118,60 @@ def test_serve_cli_export_then_run(tmp_path, capsys):
     assert report["n_utterances"] > 0
 
 
+def test_bucketed_export_selects_smallest_admitting(tmp_path):
+    """A multi-bucket artifact routes each query to the smallest bucket
+    that admits it, and every bucket agrees with the direct checkpoint
+    forward (padding contract per bucket)."""
+    spec, model, params = _trained_params()
+    path = str(tmp_path / "m.ser")
+    save_model(path, "MARN1_onlysp", params, L, [2, B], platforms=("cpu",))
+    served = ServingModel.load(path)
+    assert served.buckets == [(L, 2), (L, B)]
+
+    def ref_logp(batch, Lp, Bp):
+        padded = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            b, l = np.asarray(batch["umask"]).shape
+            if k in ("umask", "label"):
+                pad = [(0, Bp - b), (0, Lp - l)]
+            else:
+                pad = [(0, Lp - l), (0, Bp - b)] + [(0, 0)] * (v.ndim - 2)
+            padded[k] = np.pad(v, pad)
+        args = spec.make_inputs(
+            {k: jnp.asarray(v) for k, v in padded.items()})
+        out = np.asarray(spec.extract_logp(
+            model.apply({"params": params}, *args, deterministic=True)))
+        return out.reshape(Bp, Lp, -1)
+
+    small = {k: v for k, v in
+             synthetic_batch(L=8, B=1, seed=4).items() if k != "vid"}
+    out = served.predict(small)
+    assert served.last_bucket == (L, 2)  # NOT the full [L, B] export
+    np.testing.assert_allclose(out["logp"], ref_logp(small, L, 2)[:1, :8],
+                               atol=2e-4)
+
+    big = {k: v for k, v in
+           synthetic_batch(L=L, B=3, seed=6).items() if k != "vid"}
+    out = served.predict(big)
+    assert served.last_bucket == (L, B)  # b=3 overflows the B=2 bucket
+    np.testing.assert_allclose(out["logp"], ref_logp(big, L, B)[:3],
+                               atol=2e-4)
+
+
+def test_bucketed_oversize_rejected_and_header_max(tmp_path):
+    _, _, params = _trained_params()
+    path = str(tmp_path / "m.ser")
+    save_model(path, "MARN1_onlysp", params, L, [2, B], platforms=("cpu",))
+    served = ServingModel.load(path)
+    # legacy header fields advertise the largest admittable shape
+    assert (served.header["L"], served.header["B"]) == (L, B)
+    big = {k: v for k, v in
+           synthetic_batch(L=L, B=B + 1, seed=1).items() if k != "vid"}
+    with pytest.raises(ValueError, match="exceeds the exported shape"):
+        served.predict(big)
+
+
 def test_predict_needs_no_model_code(tmp_path):
     """The artifact is self-contained: predict() assembles inputs from the
     header's recorded convention and never touches the model registry
