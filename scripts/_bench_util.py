@@ -22,10 +22,22 @@ def timed(fn):
     return time.perf_counter() - t0
 
 
-def per_pass_seconds(loop_fn, iters=31, repeats=3):
-    """loop_fn(n) must run n chained passes on device and return a scalar."""
+def per_pass_seconds(loop_fn, iters=31, repeats=3, min_window_s=0.15,
+                     max_iters=5000):
+    """loop_fn(n) must run n chained passes on device and return a scalar.
+
+    The iteration count auto-scales so the timed window is at least
+    ``min_window_s`` (same discipline as bench_zoo.py): for sub-ms passes
+    a 31-iteration window is a few ms, which relay/dispatch noise swamps —
+    observed r4: a 0.5 ms tail measured "0.0 ms" at iters=31."""
     float(loop_fn(1))       # compile + warm the k=1 count
     float(loop_fn(iters))   # compile + warm the k=iters count
-    t_long = min(timed(lambda: float(loop_fn(iters))) for _ in range(repeats))
+    t0 = time.perf_counter()
+    float(loop_fn(iters))
+    est = (time.perf_counter() - t0) / iters
+    k = max(iters, min(int(min_window_s / max(est, 1e-8)), max_iters))
+    if k != iters:
+        float(loop_fn(k))   # compile + warm the scaled count (retrace trap)
+    t_long = min(timed(lambda: float(loop_fn(k))) for _ in range(repeats))
     t_short = min(timed(lambda: float(loop_fn(1))) for _ in range(repeats))
-    return max((t_long - t_short) / (iters - 1), 1e-9)
+    return max((t_long - t_short) / (k - 1), 1e-9)

@@ -49,6 +49,28 @@ DRNN_FAST2 = "auto"
 DRNN_CHUNK = "auto"
 
 # ---------------------------------------------------------------------------
+# DialogueRNN p-cell projection fusion (chunked path only): the context
+# vector c_ is used ONLY as p_in = p_x + c_ @ pWih_c, and both c_'s
+# online-softmax merge and the projection are linear — so project the
+# per-chunk past numerator and the within-chunk g rows through pWih_c OFF
+# the critical path and merge already-projected terms in-step. Removes the
+# [B, D_g] x [D_g, 3*D_p] matmul from the serial per-step chain, replacing
+# it with a [B, C] x [C, B, 3*D_p] pooling (C/D_g ~ 1/30 of the MACs).
+# Math is identical up to float reassociation (test_drnn_pmerge.py).
+#   "auto": use the measured production default | True / False: force
+# ---------------------------------------------------------------------------
+DRNN_PMERGE = "auto"
+_DRNN_PMERGE_AUTO = False  # flipped by the round-4 TPU A/B if it wins
+
+
+def drnn_pmerge():
+    """Static (trace-time) decision for the p-cell projection fusion."""
+    if DRNN_PMERGE == "auto":
+        return _DRNN_PMERGE_AUTO
+    return bool(DRNN_PMERGE)
+
+
+# ---------------------------------------------------------------------------
 # Pluggable encoder self-attention (CLI --encoder_attention). The reference
 # imports ExternalAttention into three model files (lsthm_sps.py:8,
 # lsthm_onlysp.py:8, lsthm_nsps.py:8) but never instantiates it — a

@@ -191,14 +191,20 @@ def _drnn_step(consts, carry, xs, listener_state, context_attention,
 
 
 def _drnn_post(consts, xs, q, e_prev, q0_sel, c_, ks, listener_state,
-               dropout_rate, deterministic):
-    """Party + emotion cells (the step's post-attention half)."""
+               dropout_rate, deterministic, c_projected=False):
+    """Party + emotion cells (the step's post-attention half).
+
+    ``c_projected=True`` means ``c_`` already went through ``pWih_c``
+    (the chunked path's projection fusion, config.DRNN_PMERGE)."""
     qm = xs["qm"]
     B, P = qm.shape[0], qm.shape[1]
     D_p = q.shape[-1]
     fast2 = "sp1" in xs  # P==2: run party cells only on their kept rows
 
-    p_in = xs["p_x"] + jnp.matmul(c_, consts["pWih_c"])  # [B, 3*D_p]
+    if c_projected:
+        p_in = xs["p_x"] + c_  # [B, 3*D_p]
+    else:
+        p_in = xs["p_x"] + jnp.matmul(c_, consts["pWih_c"])  # [B, 3*D_p]
     if fast2:
         # The reference updates ALL B*P party rows with p_cell (and l_cell)
         # and then keeps only the speaker row of qs_ / the listener rows of
@@ -283,6 +289,17 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
     dtype = g_hist.dtype
     neg = jnp.asarray(jnp.finfo(dtype).min / 2, dtype)
     hi = jax.lax.Precision.HIGHEST  # parity: keep the MXU out of bf16 here
+    from ser_tpu import config
+
+    # Projection fusion (config.DRNN_PMERGE): c_ only ever feeds
+    # p_in = p_x + c_ @ pWih_c, and the online-softmax merge is linear in
+    # its numerators — so push pWih_c through the numerators off the
+    # critical path (per-chunk for the past block, at g-write time within
+    # the chunk) and merge already-projected [B, 3*D_p] terms in-step.
+    # The serial chain loses its [B, D_g] x [D_g, 3*D_p] matmul; the
+    # in-step pooling grows from D_g to 3*D_p wide (VPU, C rows — cheap).
+    pmerge = config.drnn_pmerge()
+    pW = consts["pWih_c"]  # [D_g, 3*D_p]
 
     # past-chunk block: two g_hist reads PER CHUNK (vs two per step).
     # 'simple' scores are query-independent, so its stats are one [B, ·]
@@ -299,6 +316,8 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
         w_past = jnp.where(jmask, jnp.exp(s_past - m_past[..., None]), 0.0)
         d_past = jnp.sum(w_past, axis=2)  # [C, B]
         n_past = jnp.einsum("cbj,jbd->cbd", w_past, g_hist, precision=hi)
+        if pmerge:
+            n_past = jnp.einsum("cbd,dk->cbk", n_past, pW, precision=hi)
     else:
         s_q = jnp.einsum("jbd,dk->bj", g_hist, consts["attS"],
                          precision=hi)  # [B, L]
@@ -308,9 +327,14 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
         w_past1 = jnp.where(jmask1, jnp.exp(s_q - m_past1[:, None]), 0.0)
         d_past1 = jnp.sum(w_past1, axis=1)
         n_past1 = jnp.einsum("bj,jbd->bd", w_past1, g_hist, precision=hi)
+        if pmerge:
+            n_past1 = jnp.matmul(n_past1, pW, precision=hi)
 
     def inner(icarry, ixs):
-        q, e_prev, g_prev, gbuf, i = icarry
+        if pmerge:
+            q, e_prev, g_prev, gbuf, gbuf_proj, i = icarry
+        else:
+            q, e_prev, g_prev, gbuf, i = icarry
         deterministic = not training
         ks = (jax.random.split(ixs["key"], 4) if training else [None] * 4)
 
@@ -327,7 +351,8 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
         m_cur = jnp.max(s_cur, axis=1)  # [B]
         w_cur = jnp.where(imask, jnp.exp(s_cur - m_cur[:, None]), 0.0)
         d_cur = jnp.sum(w_cur, axis=1)
-        n_cur = jnp.einsum("bj,jbd->bd", w_cur, gbuf)
+        n_cur = jnp.einsum("bj,jbd->bd", w_cur,
+                           gbuf_proj if pmerge else gbuf)
 
         # online-softmax merge of (past, current-chunk) partial sums
         if query_dep:
@@ -354,7 +379,15 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
 
         gbuf = jax.lax.dynamic_update_slice_in_dim(gbuf, g_[None], i, axis=0)
         q_, e_ = _drnn_post(consts, ixs, q, e_prev, q0_sel, c_, ks,
-                            listener_state, dropout_rate, deterministic)
+                            listener_state, dropout_rate, deterministic,
+                            c_projected=pmerge)
+        if pmerge:
+            # Project g_ for future steps' pooling — off the serial chain
+            # (needed from the NEXT step on, so it overlaps the p/l/e
+            # cells in this one).
+            gbuf_proj = jax.lax.dynamic_update_slice_in_dim(
+                gbuf_proj, jnp.matmul(g_, pW, precision=hi)[None], i, axis=0)
+            return (q_, e_, g_, gbuf, gbuf_proj, i + 1), (e_, alpha)
         return (q_, e_, g_, gbuf, i + 1), (e_, alpha)
 
     inner_seqs = {k: v for k, v in xs.items()}
@@ -362,8 +395,15 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
         inner_seqs.update(m_past=m_past, d_past=d_past, n_past=n_past,
                           w_past=w_past)
     gbuf0 = jnp.zeros((C, B, D_g), dtype)
-    (q_, e_, g_, gbuf, _), (es, alphas) = jax.lax.scan(
-        inner, (q0, e0, g0, gbuf0, jnp.asarray(0, t0.dtype)), inner_seqs)
+    if pmerge:
+        init_inner = (q0, e0, g0, gbuf0,
+                      jnp.zeros((C, B, pW.shape[-1]), dtype),
+                      jnp.asarray(0, t0.dtype))
+        (q_, e_, g_, gbuf, _, _), (es, alphas) = jax.lax.scan(
+            inner, init_inner, inner_seqs)
+    else:
+        (q_, e_, g_, gbuf, _), (es, alphas) = jax.lax.scan(
+            inner, (q0, e0, g0, gbuf0, jnp.asarray(0, t0.dtype)), inner_seqs)
     g_hist = jax.lax.dynamic_update_slice_in_dim(g_hist, gbuf, t0, axis=0)
     return (q_, e_, g_, g_hist, t0 + C), (es, alphas)
 
