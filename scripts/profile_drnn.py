@@ -17,23 +17,14 @@ Usage:  python scripts/profile_drnn.py
 
 from __future__ import annotations
 
+import os as _os
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, _os.path.dirname(_os.path.abspath(
+    globals().get("__file__", "scripts/x"))))
 
-
-def _timed(fn):
-    t0 = time.perf_counter()
-    fn()
-    return time.perf_counter() - t0
-
-
-def per_pass_seconds(loop_fn, iters=11, repeats=3):
-    float(loop_fn(1))
-    t_long = min(_timed(lambda: float(loop_fn(iters))) for _ in range(repeats))
-    t_short = min(_timed(lambda: float(loop_fn(1))) for _ in range(repeats))
-    return max((t_long - t_short) / (iters - 1), 1e-9)
+from _bench_util import per_pass_seconds  # noqa: E402
 
 
 def build(L, B):

@@ -43,6 +43,12 @@ from ser_tpu.ops.encoder import EncoderLayer
 from ser_tpu.ops.layers import Dropout, TorchLinear, dropout
 from ser_tpu.ops.masking import reverse_seq, scatter_parties, select_parties
 
+# Measurement-only switch (scripts/profile_tail_inmodel.py): replaces the
+# post-recurrence tail's 4 sequence cross-attentions with zeros so
+# full - ablated measures the tail's IN-MODEL cost (the standalone-residual
+# estimate in r3 was noise-dominated). Never set in production.
+_ABLATE_TAIL = False
+
 
 class MARNCellOnlySP(nn.Module):
     """One direction of the dialogue recurrence
@@ -368,7 +374,13 @@ class MARN1OnlySP(nn.Module):
                     CrossAttentionSeq(name="crossatt_a2l"))
         reseq_mods = (CrossAttentionReSeq(name="crossatt_l2a_1"),
                       CrossAttentionReSeq(name="crossatt_a2l_1"))
-        if config.tail_paired():
+        if _ABLATE_TAIL:
+            # measurement-only (scripts/profile_tail_inmodel.py): zero the
+            # 4 seq cross-attentions so full - ablated bounds the tail's
+            # IN-MODEL cost. Never set in production; init with it False.
+            attn1 = jnp.zeros(h.shape[:2] + (128,), h.dtype)
+            attn2 = attn1
+        elif config.tail_paired():
             # Pair-batched tail: both chains of each stage as ONE batched
             # einsum set (identical math; ops/attention.py).
             rngs = ((None, None) if deterministic else
