@@ -172,6 +172,30 @@ def test_bucketed_oversize_rejected_and_header_max(tmp_path):
         served.predict(big)
 
 
+def test_serve_cli_bench_smoke(tmp_path, capsys):
+    """`serve.py bench` reports finite per-bucket latency for every bucket
+    in the artifact (the serving latency story's measurement tool)."""
+    import serve
+    from ser_tpu.train.trainer import ModelTrainer
+
+    t = ModelTrainer(model="BiLSTM", seed=3, res_csv_path=None)
+    ckpt = str(tmp_path / "bilstm.model")
+    t.save_parameters(ckpt)
+    art = str(tmp_path / "bilstm.ser")
+    serve.main(["export", "--initial_model", ckpt, "--model", "BiLSTM",
+                "--out", art, "--L", "12", "--B", "2,4",
+                "--platforms", "cpu"])
+    capsys.readouterr()
+
+    serve.main(["bench", "--artifact", art, "--iters", "3"])
+    out = capsys.readouterr().out
+    report = json.loads(out[out.find("{"):])
+    assert set(report["buckets"]) == {"L12_B2", "L12_B4"}
+    for row in report["buckets"].values():
+        assert row["ms_per_call"] > 0
+        assert np.isfinite(row["utterances_per_sec"])
+
+
 def test_predict_needs_no_model_code(tmp_path):
     """The artifact is self-contained: predict() assembles inputs from the
     header's recorded convention and never touches the model registry
