@@ -158,6 +158,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.medium
+
 REF_ATT = "/root/reference/attention:"
 
 ref_available = pytest.mark.skipif(

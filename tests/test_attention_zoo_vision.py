@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.medium
+
 REF_ATT = "/root/reference/attention:"
 
 ref_available = pytest.mark.skipif(

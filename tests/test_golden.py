@@ -104,6 +104,8 @@ def test_golden_logits_dialogue_rnn():
 
 import pytest  # noqa: E402
 
+pytestmark = pytest.mark.medium
+
 
 @pytest.mark.parametrize("name", sorted(GOLDEN_MORE))
 def test_golden_logits_variants(name):

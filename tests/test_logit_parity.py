@@ -22,10 +22,13 @@ from ser_tpu.compat.torch_import import convert_state_dict
 
 REFERENCE = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE, "model")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.medium,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REFERENCE, "model")),
+        reason="reference checkout not available",
+    ),
+]
 
 
 def _shim_reference():

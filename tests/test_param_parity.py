@@ -15,10 +15,13 @@ import pytest
 
 REFERENCE = "/root/reference"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE, "model")),
-    reason="reference checkout not available",
-)
+pytestmark = [
+    pytest.mark.medium,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REFERENCE, "model")),
+        reason="reference checkout not available",
+    ),
+]
 
 
 @pytest.fixture(scope="module")

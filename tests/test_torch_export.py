@@ -22,6 +22,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.medium
+
 REFERENCE = "/root/reference"
 HAVE_REF = os.path.isdir(os.path.join(REFERENCE, "model"))
 
