@@ -78,9 +78,21 @@ def weight_bytes():
 
 
 def main(cases=None):
-    cases = cases or ["bsweep", "bf16"]
+    cases = cases or ["bsweep", "bf16", "unroll"]
     out = {"weight_bytes": weight_bytes()}
     print(json.dumps(out["weight_bytes"]), flush=True)
+    if "unroll" in cases:
+        from ser_tpu import config
+
+        try:
+            for u in (1, 2, 4):
+                config.DRNN_UNROLL = u
+                t = eval_pass(108, 31) * 1e3
+                out[f"eval_B31_unroll{u}_ms"] = round(t, 3)
+                print(f"eval  L=108 B=31   unroll={u}  {t:8.3f} ms",
+                      flush=True)
+        finally:
+            config.DRNN_UNROLL = 1
     if "bsweep" in cases:
         for B in (8, 31, 62, 124):
             t = eval_pass(108, B) * 1e3

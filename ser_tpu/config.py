@@ -70,6 +70,13 @@ def drnn_pmerge():
     return bool(DRNN_PMERGE)
 
 
+# Measurement-only: unroll factor for the DialogueRNN step scans (the
+# floor-evidence ablation — if unrolling is neutral, per-step cost is not
+# loop overhead). 1 in production: the flagship's identical ablation was
+# neutral and a >1 default would only bloat compile time.
+DRNN_UNROLL = 1
+
+
 # ---------------------------------------------------------------------------
 # Pluggable encoder self-attention (CLI --encoder_attention). The reference
 # imports ExternalAttention into three model files (lsthm_sps.py:8,

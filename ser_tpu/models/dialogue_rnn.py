@@ -395,15 +395,17 @@ def _drnn_chunk_step(consts, carry, xs, listener_state, context_attention,
         inner_seqs.update(m_past=m_past, d_past=d_past, n_past=n_past,
                           w_past=w_past)
     gbuf0 = jnp.zeros((C, B, D_g), dtype)
+    unroll = config.DRNN_UNROLL  # measurement-only floor ablation
     if pmerge:
         init_inner = (q0, e0, g0, gbuf0,
                       jnp.zeros((C, B, pW.shape[-1]), dtype),
                       jnp.asarray(0, t0.dtype))
         (q_, e_, g_, gbuf, _, _), (es, alphas) = jax.lax.scan(
-            inner, init_inner, inner_seqs)
+            inner, init_inner, inner_seqs, unroll=unroll)
     else:
         (q_, e_, g_, gbuf, _), (es, alphas) = jax.lax.scan(
-            inner, (q0, e0, g0, gbuf0, jnp.asarray(0, t0.dtype)), inner_seqs)
+            inner, (q0, e0, g0, gbuf0, jnp.asarray(0, t0.dtype)), inner_seqs,
+            unroll=unroll)
     g_hist = jax.lax.dynamic_update_slice_in_dim(g_hist, gbuf, t0, axis=0)
     return (q_, e_, g_, g_hist, t0 + C), (es, alphas)
 
