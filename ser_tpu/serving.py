@@ -50,7 +50,8 @@ def _as_buckets(L, B):
 
 
 def export_model(model_name, params, L, B, *, n_classes=6,
-                 dataset="IEMOCAP", platforms=("tpu", "cpu")):
+                 dataset="IEMOCAP", platforms=("tpu", "cpu"),
+                 dtype="f32"):
     """Export the deterministic eval forward to a serialized artifact.
 
     Returns ``bytes``. ``params`` are closed over (baked into the artifact
@@ -60,18 +61,34 @@ def export_model(model_name, params, L, B, *, n_classes=6,
     lazily per bucket at first serve). Each exported callable maps
     ``spec.make_inputs(batch)`` arrays at its pinned [L, B] to ``[B*L, C]``
     log-probs (``spec.extract_logp`` layout).
+
+    ``dtype="bf16"`` bakes bf16 params and computes the forward in
+    bfloat16 (inputs cast in, log-probs cast back to f32). A deployment
+    precision choice, NOT the parity default: measured on v5e it buys
+    DialogueRNN eval 1.2–1.53× (PERF.md bound diagnosis) at ~1e-2
+    log-prob drift; the callable's input/output signature stays f32.
     """
     import jax
+    import jax.numpy as jnp
 
     from ser_tpu.data.synthetic import synthetic_batch
     from ser_tpu.models.registry import get_model_spec
 
+    if dtype not in ("f32", "bf16"):
+        raise ValueError(f"dtype must be 'f32' or 'bf16', got {dtype!r}")
     spec = get_model_spec(model_name)
     model = spec.build(n_classes, dataset)
+    if dtype == "bf16":
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16)
+            if p.dtype == jnp.float32 else p, params)
 
     def fwd(*args):
+        if dtype == "bf16":
+            args = tuple(a.astype(jnp.bfloat16)
+                         if a.dtype == jnp.float32 else a for a in args)
         out = model.apply({"params": params}, *args, deterministic=True)
-        return spec.extract_logp(out)
+        return spec.extract_logp(out).astype(jnp.float32)
 
     buckets = _as_buckets(L, B)
     # Force the scan recurrence during export: the ONLYSP_STACKED Pallas
@@ -106,6 +123,7 @@ def export_model(model_name, params, L, B, *, n_classes=6,
         "B": max_b,
         "buckets": [list(lb) for lb in buckets],
         "platforms": list(platforms),
+        "dtype": dtype,
         "logp_layout": getattr(spec, "logp_layout", "bt"),
         # input-assembly convention, recorded so predict() needs no model
         # code (the registry import pulls in the whole Flax zoo)

@@ -37,10 +37,11 @@ def cmd_export(args):
     Ls, Bs = _int_list(args.L), _int_list(args.B)
     save_model(args.out, args.model, trainer.params, Ls, Bs,
                n_classes=args.n_classes, dataset=args.dataset,
-               platforms=tuple(args.platforms.split(",")))
+               platforms=tuple(args.platforms.split(",")),
+               dtype=args.dtype)
     print(json.dumps({"artifact": args.out, "model": args.model,
                       "buckets": [list(lb) for lb in _as_buckets(Ls, Bs)],
-                      "platforms": args.platforms}))
+                      "platforms": args.platforms, "dtype": args.dtype}))
 
 
 def cmd_run(args):
@@ -172,6 +173,11 @@ def main(argv=None):
     pe.add_argument("--platforms", type=str, default="tpu,cpu")
     pe.add_argument("--torch_format", action="store_true")
     pe.add_argument("--encoder_attention", type=str, default="mha")
+    pe.add_argument("--dtype", type=str, default="f32",
+                    choices=["f32", "bf16"],
+                    help="bf16 = deployment precision: params baked bf16, "
+                         "forward computed in bfloat16 (f32 in/out; "
+                         "measured 1.2-1.5x on DialogueRNN, PERF.md)")
     pe.set_defaults(fn=cmd_export)
 
     pr = sub.add_parser("run", help="evaluate a split with an artifact")

@@ -212,3 +212,41 @@ def test_predict_needs_no_model_code(tmp_path):
     assert out["preds"].shape == (B, L)
     # the registry fallback (legacy artifacts only) was never consulted
     assert served._spec is None
+
+
+def test_bf16_export_deployment_precision(tmp_path):
+    """dtype='bf16' bakes bf16 params and computes in bfloat16 with an f32
+    in/out signature: predictions track the f32 artifact (argmax stable on
+    confident rows; log-probs within bf16 drift) and the header records
+    the precision."""
+    spec, model, params = _trained_params()
+    p32 = str(tmp_path / "m32.ser")
+    p16 = str(tmp_path / "m16.ser")
+    save_model(p32, "MARN1_onlysp", params, L, B, platforms=("cpu",))
+    save_model(p16, "MARN1_onlysp", params, L, B, platforms=("cpu",),
+               dtype="bf16")
+
+    s32, s16 = ServingModel.load(p32), ServingModel.load(p16)
+    assert s16.header["dtype"] == "bf16"
+    batch = {k: v for k, v in
+             synthetic_batch(L=L, B=B, seed=5).items() if k != "vid"}
+    o32, o16 = s32.predict(batch), s16.predict(batch)
+    assert o16["logp"].dtype == np.float32  # signature stays f32
+    assert np.all(np.isfinite(o16["logp"]))
+    # bf16 has ~3 significant decimal digits. A random-init model's
+    # log-probs are near-uniform (~log 1/6 everywhere), the worst case
+    # for relative agreement: drift accumulated through the recurrence
+    # shows up directly, and argmax between near-ties is a coin flip —
+    # so pin the magnitude of the drift, not prediction identity (the
+    # trained-checkpoint accuracy story is measured on TPU, PERF.md).
+    err = float(np.max(np.abs(o16["logp"] - o32["logp"])))
+    assert err < 0.5, err
+    mean_err = float(np.mean(np.abs(o16["logp"] - o32["logp"])))
+    assert mean_err < 0.1, mean_err
+
+
+def test_bf16_export_rejects_bad_dtype(tmp_path):
+    spec, model, params = _trained_params()
+    with pytest.raises(ValueError, match="dtype"):
+        save_model(str(tmp_path / "x.ser"), "MARN1_onlysp", params, L, B,
+                   platforms=("cpu",), dtype="fp8")
