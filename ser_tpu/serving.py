@@ -7,8 +7,9 @@ modules and re-compiles (~30-70 s on a fresh TPU process). This module
 ahead-of-time exports the deterministic eval forward as a serialized
 StableHLO artifact (``jax.export``):
 
-- **self-contained** — trained params are baked in as constants; the
-  artifact needs no checkpoint, no Flax module code, and no tracing at
+- **self-contained** — the trained weights travel inside the artifact
+  (v3: once, as a raw section passed to each callable; v2: baked as
+  constants); no checkpoint, no Flax module code, and no tracing at
   load time (only an XLA compile of already-lowered StableHLO);
 - **multi-platform** — lowered for both ``tpu`` and ``cpu`` by default, so
   the same artifact serves on a v5e chip and in CPU CI;
@@ -28,6 +29,22 @@ File format v2: ``SER2`` magic + u32 header length + JSON header (model
 name, bucket shapes, arg layout) + per-bucket ``u64 length + jax.export
 blob`` sections, ordered as ``header["buckets"]``. Legacy ``SER1``
 single-blob artifacts still load.
+
+v3 (round 4): params travel ONCE as a raw-bytes section and are passed
+to each bucket's exported callable as its first (pytree) argument
+instead of being baked into every blob as constants. Two measured
+reasons (PERF.md):
+
+- a multi-bucket artifact no longer duplicates the weights per bucket
+  (DialogueRNN, 4 buckets: 293 MB -> ~73 MB);
+- XLA compiles the DialogueRNN scan ~9x SLOWER at B=1 when the weights
+  are program constants (11.5 ms/call vs 1.25 ms with weights as
+  arguments, identical at B >= 8) — baking constants is exactly wrong
+  for the latency-critical smallest bucket.
+
+Header gains ``params: {"leaves": [[key, shape, dtype], ...]}``; the
+section is the concatenation of the leaves' raw bytes in that order.
+``SER2`` v2 artifacts (params baked) still load and serve.
 """
 
 from __future__ import annotations
@@ -37,6 +54,41 @@ import struct
 
 _MAGIC = b"SER2"
 _MAGIC_V1 = b"SER1"
+
+
+def _flatten_params(params):
+    """Stable (path-sorted) [("a/b/kernel", leaf), ...] of a params dict."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    items = []
+    for path, leaf in flat:
+        key = "/".join(str(getattr(p, "key", p)) for p in path)
+        items.append((key, leaf))
+    items.sort(key=lambda kv: kv[0])
+    return items
+
+
+def _unflatten_params(leaves_meta, raw):
+    """Rebuild the nested params dict from header metadata + raw bytes."""
+    import ml_dtypes  # ships with jax; needed for bfloat16 buffers
+    import numpy as np
+
+    dtypes = {"bfloat16": ml_dtypes.bfloat16}
+    params = {}
+    off = 0
+    for key, shape, dtype in leaves_meta:
+        dt = np.dtype(dtypes.get(dtype, dtype))
+        n = int(np.prod(shape)) if shape else 1
+        arr = np.frombuffer(raw, dtype=dt, count=n,
+                            offset=off).reshape(shape)
+        off += n * dt.itemsize
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = arr
+    return params
 
 
 def _as_buckets(L, B):
@@ -54,8 +106,10 @@ def export_model(model_name, params, L, B, *, n_classes=6,
                  dtype="f32"):
     """Export the deterministic eval forward to a serialized artifact.
 
-    Returns ``bytes``. ``params`` are closed over (baked into the artifact
-    as constants). ``L``/``B`` may each be an int or a sequence — the
+    Returns ``bytes``. ``params`` are stored once in the artifact and
+    passed to each bucket's callable as its first argument (v3 — see the
+    module docstring for why constants lose). ``L``/``B`` may each be an
+    int or a sequence — the
     cross product becomes the artifact's shape buckets (one ``jax.export``
     blob per bucket; export is a trace+lower, the XLA compile happens
     lazily per bucket at first serve). Each exported callable maps
@@ -83,11 +137,11 @@ def export_model(model_name, params, L, B, *, n_classes=6,
             lambda p: p.astype(jnp.bfloat16)
             if p.dtype == jnp.float32 else p, params)
 
-    def fwd(*args):
+    def fwd(p, *args):
         if dtype == "bf16":
             args = tuple(a.astype(jnp.bfloat16)
                          if a.dtype == jnp.float32 else a for a in args)
-        out = model.apply({"params": params}, *args, deterministic=True)
+        out = model.apply({"params": p}, *args, deterministic=True)
         return spec.extract_logp(out).astype(jnp.float32)
 
     buckets = _as_buckets(L, B)
@@ -96,6 +150,8 @@ def export_model(model_name, params, L, B, *, n_classes=6,
     # portable (cpu) platform; the scan is math-identical.
     from ser_tpu import config
 
+    param_specs = jax.tree_util.tree_map(
+        lambda p: jax.ShapeDtypeStruct(p.shape, p.dtype), params)
     blobs = []
     with config.force_scan():
         for (l, b) in buckets:
@@ -107,8 +163,16 @@ def export_model(model_name, params, L, B, *, n_classes=6,
                 for a in spec.make_inputs(
                     {k: jax.numpy.asarray(v) for k, v in probe.items()})]
             exported = jax.export.export(
-                jax.jit(fwd), platforms=list(platforms))(*arg_specs)
+                jax.jit(fwd), platforms=list(platforms))(
+                    param_specs, *arg_specs)
             blobs.append(exported.serialize())
+
+    import numpy as np
+
+    leaf_items = _flatten_params(params)
+    leaves_meta = [[k, list(np.shape(v)), str(np.asarray(v).dtype)]
+                   for k, v in leaf_items]
+    params_raw = b"".join(np.asarray(v).tobytes() for _, v in leaf_items)
 
     from ser_tpu.models.registry import _trimodal_inputs
 
@@ -124,13 +188,15 @@ def export_model(model_name, params, L, B, *, n_classes=6,
         "buckets": [list(lb) for lb in buckets],
         "platforms": list(platforms),
         "dtype": dtype,
+        "params": {"leaves": leaves_meta},  # v3: weights-as-argument
         "logp_layout": getattr(spec, "logp_layout", "bt"),
         # input-assembly convention, recorded so predict() needs no model
         # code (the registry import pulls in the whole Flax zoo)
         "inputs": ("trimodal" if spec.make_inputs is _trimodal_inputs
                    else "marn1"),
     }).encode()
-    out = [_MAGIC, struct.pack("<I", len(header)), header]
+    out = [_MAGIC, struct.pack("<I", len(header)), header,
+           struct.pack("<Q", len(params_raw)), params_raw]
     for blob in blobs:
         out.append(struct.pack("<Q", len(blob)))
         out.append(blob)
@@ -152,13 +218,40 @@ class ServingModel:
     ``self.last_bucket`` records the (L, B) the most recent predict used.
     """
 
-    def __init__(self, header, exported_by_bucket):
+    def __init__(self, header, exported_by_bucket, params=None):
         self.header = header
         self.buckets = [tuple(lb) for lb in header.get(
             "buckets", [[header["L"], header["B"]]])]
         self._exported = dict(zip(self.buckets, exported_by_bucket))
+        self._params = params  # v3 weights-as-argument; None = baked (v1/v2)
+        self._params_on_device = False
         self.last_bucket = None
         self._spec = None
+
+    def device_params(self):
+        """The artifact's weights as DEVICE arrays (cached on first use).
+
+        ``load`` materializes the weights as host numpy views into the
+        file bytes; passing those to every call would re-transfer the
+        full weight set each time (66 MB/call for DialogueRNN — on the
+        axon relay that transfer dwarfs the compute). One ``jnp.asarray``
+        per process pins them device-resident."""
+        if self._params is not None and not self._params_on_device:
+            import jax
+            import jax.numpy as jnp
+
+            self._params = jax.tree_util.tree_map(
+                jnp.asarray, self._params)
+            self._params_on_device = True
+        return self._params
+
+    def call_fn(self, bucket):
+        """The bucket's callable over model inputs only (weights bound)."""
+        exported = self._exported[tuple(bucket)]
+        if self._params is None:
+            return exported.call
+        p = self.device_params()
+        return lambda *args: exported.call(p, *args)
 
     @classmethod
     def load(cls, path):
@@ -177,6 +270,13 @@ class ServingModel:
         (hlen,) = struct.unpack("<I", data[4:8])
         header = json.loads(data[8:8 + hlen].decode())
         off = 8 + hlen
+        params = None
+        if "params" in header:  # v3: one weights section, passed per call
+            (plen,) = struct.unpack("<Q", data[off:off + 8])
+            off += 8
+            params = _unflatten_params(
+                header["params"]["leaves"], data[off:off + plen])
+            off += plen
         exported = []
         for _ in header["buckets"]:
             (blen,) = struct.unpack("<Q", data[off:off + 8])
@@ -184,7 +284,7 @@ class ServingModel:
             exported.append(
                 jax.export.deserialize(bytearray(data[off:off + blen])))
             off += blen
-        return cls(header, exported)
+        return cls(header, exported, params)
 
     def _make_inputs(self, batch):
         """Assemble the exported callable's positional args from a field
@@ -245,7 +345,7 @@ class ServingModel:
 
         args = self._make_inputs(
             {k: jnp.asarray(v) for k, v in padded.items()})
-        logp = np.asarray(self._exported[(L, B)].call(*args))
+        logp = np.asarray(self.call_fn((L, B))(*args))
         C = logp.shape[-1]
         if self.header.get("logp_layout") == "tb":  # time-major rows
             logp = np.transpose(logp.reshape(L, B, C), (1, 0, 2))

@@ -114,25 +114,36 @@ def cmd_bench(args):
                                  n_classes=h["n_classes"]).items()
                  if k != "vid"}
         fargs = served._make_inputs(batch)
-        call = served._exported[(L, B)].call
+        exported = served._exported[(L, B)]
 
-        def loop(x, rest, k):
+        # v3 artifacts take the weights as the callable's first argument.
+        # The timing loop must pass them as a jit ARGUMENT too — closing
+        # over them would re-bake them as program constants, which is the
+        # exact pathology v3 removes (XLA compiles the DialogueRNN scan
+        # ~9x slower at B=1 with weights as constants; PERF.md).
+        p = served.device_params()
+
+        def loop(p, x, rest, k):
             def body(i, acc):
-                return jnp.sum(call(x + 1e-30 * acc, *rest))
+                if p is None:
+                    out = exported.call(x + 1e-30 * acc, *rest)
+                else:
+                    out = exported.call(p, x + 1e-30 * acc, *rest)
+                return jnp.sum(out)
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
-        lj = jax.jit(loop, static_argnums=2)
-        float(lj(fargs[0], fargs[1:], 1))  # compile + warm
+        lj = jax.jit(loop, static_argnums=3)
+        float(lj(p, fargs[0], fargs[1:], 1))  # compile + warm
         iters = args.iters
-        float(lj(fargs[0], fargs[1:], iters + 1))  # warm the long k
+        float(lj(p, fargs[0], fargs[1:], iters + 1))  # warm the long k
         tl, ts = [], []
         for _ in range(3):
             t0 = time.perf_counter()
-            float(lj(fargs[0], fargs[1:], iters + 1))
+            float(lj(p, fargs[0], fargs[1:], iters + 1))
             tl.append(time.perf_counter() - t0)
         for _ in range(3):
             t0 = time.perf_counter()
-            float(lj(fargs[0], fargs[1:], 1))
+            float(lj(p, fargs[0], fargs[1:], 1))
             ts.append(time.perf_counter() - t0)
         sec = max((min(tl) - min(ts)) / iters, 1e-9)
         n_utts = float(np.sum(np.asarray(batch["umask"])))
