@@ -84,9 +84,12 @@ def bench_model(name, batch, n_utts, iters=20):
     }
 
 
-def bench_model_train(name, batch, n_utts, iters=10):
+def bench_model_train(name, batch, n_utts, iters=10, compute_dtype=None):
     """Full train step (fwd+bwd+torch-Adam) per pass, trainer conventions:
-    masked double-log-softmax loss, per-step dropout keys split on-device."""
+    masked double-log-softmax loss, per-step dropout keys split on-device.
+
+    ``compute_dtype=jnp.bfloat16`` measures the mixed-precision path
+    (trainer.py --compute_dtype bf16: fwd+bwd in bf16, master state f32)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -94,6 +97,7 @@ def bench_model_train(name, batch, n_utts, iters=10):
     from ser_tpu.models.registry import get_model_spec
     from ser_tpu.train.losses import masked_loss
     from ser_tpu.train.optim import torch_adam
+    from ser_tpu.train.trainer import _cast_floats
 
     spec = get_model_spec(name)
     n_classes = 7 if name == "MARN_AT" else 6
@@ -110,11 +114,20 @@ def bench_model_train(name, batch, n_utts, iters=10):
     tx = torch_adam()
     opt0 = tx.init(params)
 
+    cast_args = (tuple(_cast_floats(a, compute_dtype) for a in args[1:])
+                 if compute_dtype is not None else args[1:])
+
     def train_step(p, o, x, rng):
         def loss_fn(pp):
-            out = model.apply({"params": pp}, x, *args[1:],
+            if compute_dtype is not None:
+                pp = _cast_floats(pp, compute_dtype)
+                xx = _cast_floats(x, compute_dtype)
+            else:
+                xx = x
+            out = model.apply({"params": pp}, xx, *cast_args,
                               deterministic=False, rngs={"dropout": rng})
-            return masked_loss(spec.extract_logp(out), labels, umask)
+            logp = spec.extract_logp(out).astype(jnp.float32)
+            return masked_loss(logp, labels, umask)
 
         loss, grads = jax.value_and_grad(loss_fn)(p)
         o.hyperparams["learning_rate"] = jnp.float32(1e-3)
@@ -190,12 +203,28 @@ def main():
                    help="benchmark the full train step (fwd+bwd+Adam) at "
                         "the reference train shape [110, 80] instead of "
                         "the eval forward")
+    p.add_argument("--dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="--train only: bf16 measures the mixed-precision "
+                        "path (train.py --compute_dtype bf16). Don't gate "
+                        "a bf16 run against an f32 baseline.")
     args = p.parse_args()
 
+    if args.dtype == "bf16" and not args.train:
+        raise SystemExit("--dtype bf16 applies to --train (eval bf16 is "
+                         "the serving path: serve.py export --dtype bf16)")
+
     if args.train:
+        import functools
+
+        import jax.numpy as jnp
+
         batch = synthetic_like_train(seed=1)
         n_utts = int(np.sum(batch["umask"]))
         bench_fn = bench_model_train
+        if args.dtype == "bf16":
+            bench_fn = functools.partial(
+                bench_model_train, compute_dtype=jnp.bfloat16)
         iters = max(1, args.iters // 2)
     else:
         batch, n_utts = iemocap_eval_batch()
@@ -215,6 +244,7 @@ def main():
         with open(args.save, "w") as f:
             json.dump({"backend": jax.default_backend(),
                        "n_utterances": n_utts,
+                       "dtype": args.dtype,
                        "models": results}, f, indent=2)
         print(f"saved baseline -> {args.save}")
 

@@ -34,6 +34,15 @@ BATCH_ARRAY_KEYS = (
 )
 
 
+def _cast_floats(tree, dtype):
+    """Cast every floating leaf of a pytree to ``dtype`` (ints untouched)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        tree,
+    )
+
+
 def _device_batch(batch, mesh=None):
     arrays = {k: jnp.asarray(batch[k]) for k in BATCH_ARRAY_KEYS if k in batch}
     if mesh is not None:
@@ -65,9 +74,22 @@ class ModelTrainer:
         mesh=None,
         audio_frontend=None,
         infonce=0.0,
+        compute_dtype="f32",
         **kwargs,
     ):
         del device, kwargs  # device selection is implicit (jax default)
+        # Mixed-precision training (TPU-native, opt-in; reference is f32-only):
+        # master params + Adam moments + loss stay float32, the forward and
+        # backward run in bfloat16 (params/batch cast inside loss_fn, so the
+        # cast's transpose returns float32 gradients). The measured payoff is
+        # traffic-bound models — DialogueRNN's step is linear-in-B activation
+        # traffic (PERF.md round-4 bound diagnosis: bf16 fwd 1.2-1.53x) —
+        # while the logit-parity contract keeps "f32" the default.
+        if compute_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"compute_dtype must be 'f32' or 'bf16', got {compute_dtype!r}")
+        self.compute_dtype = (
+            jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32)
         self.spec = get_model_spec(model)
         self.model = self.spec.build(n_classes, dataset)
         self.loss_kind = loss
@@ -188,8 +210,17 @@ class ModelTrainer:
         labels, umask = self._flat_targets(batch)
 
         def loss_fn(p):
-            out = self._forward(p, batch, deterministic=False, rng=rng,
+            if self.compute_dtype != jnp.float32:
+                # bf16 compute: cast params + float batch arrays going in;
+                # the loss below is computed on float32-cast logits so the
+                # masked double-log-softmax keeps its f32 semantics.
+                p = _cast_floats(p, self.compute_dtype)
+                fwd_batch = _cast_floats(batch, self.compute_dtype)
+            else:
+                fwd_batch = batch
+            out = self._forward(p, fwd_batch, deterministic=False, rng=rng,
                                 raw=True)
+            out = _cast_floats(out, jnp.float32)
             logp = self.spec.extract_logp(out)
             loss = masked_loss(logp, labels, umask, kind=self.loss_kind)
             if self.infonce > 0 and self.spec.feature_outputs:

@@ -300,6 +300,12 @@ def parser_args(argv=None):
                              "mobilevit_v2 / muse (the reference "
                              "imports ExternalAttention but never wires it; "
                              "here the catalog is live)")
+    parser.add_argument("--compute_dtype", type=str, default="f32",
+                        choices=["f32", "bf16"],
+                        help="bf16 = mixed-precision training: forward + "
+                             "backward in bfloat16, master params / Adam "
+                             "moments / loss in float32 (reference parity "
+                             "stays f32; eval always runs f32)")
     parser.add_argument("--audio_frontend", type=str, default="none",
                         help="none / mfcc — compute the 100-d audio slot "
                              "on-device from raw waveforms (fused MFCC "
