@@ -259,8 +259,7 @@ class CrossAttentionReSeq(nn.Module):
 
 
 def paired_attention_tail(seq_mods, reseq_mods, x_first, x_second, v1, v2,
-                          deterministic=True, rngs=(None, None),
-                          attn_dropout=0.2):
+                          deterministic=True, rngs=(None, None)):
     """The flagship/sps post-recurrence tail as PAIR-BATCHED attention.
 
     The reference head (``lsthm_onlysp.py:287-293``) runs two structurally
@@ -296,6 +295,12 @@ def paired_attention_tail(seq_mods, reseq_mods, x_first, x_second, v1, v2,
     Rq1, Rk1, Rv1 = reseq_mods[0](x_second, x_first, mode="gather")
     Rq2, Rk2, Rv2 = reseq_mods[1](x_first, x_second, mode="gather")
     dk = Wq1.shape[1]
+    # The dropout rate comes from the modules themselves (not a separate
+    # default): a non-default construction must not silently train at 0.2.
+    rates = {m.attn_dropout for m in (*seq_mods, *reseq_mods)}
+    assert len(rates) == 1, (
+        f"paired_attention_tail requires one shared attn_dropout, got {rates}")
+    attn_dropout = rates.pop()
 
     def pair_attn(x1s, x2s, Wq, Wk, Wv, rng):
         # x1s/x2s: [2, B, L, D*] batch-major; W*: [2, D*, DK]

@@ -91,6 +91,45 @@ def _unflatten_params(leaves_meta, raw):
     return params
 
 
+def _quantize_int8(params):
+    """Weights-only int8: every float32 leaf with ndim >= 2 becomes
+    ``{"q": int8, "s": float32 per-out-channel scales}`` (symmetric,
+    max-abs over all-but-last axis / 127); 1-d leaves (biases, LN scales,
+    fusion scalars — a tiny byte fraction) stay f32. The artifact stores
+    int8 (4x smaller than f32); compute dequantizes to bf16 per call."""
+    import jax
+    import numpy as np
+
+    def quant(leaf):
+        arr = np.asarray(leaf)
+        if arr.dtype != np.float32 or arr.ndim < 2:
+            return arr
+        red = tuple(range(arr.ndim - 1))
+        s = np.max(np.abs(arr), axis=red, keepdims=True) / 127.0
+        s = np.maximum(s, 1e-12).astype(np.float32)
+        q = np.clip(np.round(arr / s), -127, 127).astype(np.int8)
+        return {"q": q, "s": s}
+
+    return jax.tree_util.tree_map(quant, params)
+
+
+def _dequantize_int8(params, dtype):
+    """Inverse of ``_quantize_int8`` inside the exported program: int8
+    weights widen to ``dtype`` on-device (the HBM read is the int8 bytes;
+    the widen fuses into the consuming matmul)."""
+    import jax.numpy as jnp
+
+    def walk(node):
+        if isinstance(node, dict):
+            if set(node) == {"q", "s"} and node["q"].dtype == jnp.int8:
+                return node["q"].astype(dtype) * node["s"].astype(dtype)
+            return {k: walk(v) for k, v in node.items()}
+        return (node.astype(dtype)
+                if node.dtype == jnp.float32 else node)
+
+    return walk(params)
+
+
 def _as_buckets(L, B):
     """Normalize (L, B) — each an int or a sequence — into sorted (L, B)
     bucket tuples, smallest padded area first (the selection order)."""
@@ -124,21 +163,30 @@ def export_model(model_name, params, L, B, *, n_classes=6,
     """
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ser_tpu.data.synthetic import synthetic_batch
     from ser_tpu.models.registry import get_model_spec
 
-    if dtype not in ("f32", "bf16"):
-        raise ValueError(f"dtype must be 'f32' or 'bf16', got {dtype!r}")
+    if dtype not in ("f32", "bf16", "int8"):
+        raise ValueError(
+            f"dtype must be 'f32', 'bf16' or 'int8', got {dtype!r}")
     spec = get_model_spec(model_name)
     model = spec.build(n_classes, dataset)
     if dtype == "bf16":
         params = jax.tree_util.tree_map(
             lambda p: p.astype(jnp.bfloat16)
             if p.dtype == jnp.float32 else p, params)
+    elif dtype == "int8":
+        # weights-only int8 (VERDICT r4 item 4): int8 storage + per-call
+        # dequant to bf16 compute. Kernel bytes drop 4x vs f32 / 2x vs
+        # bf16 — aimed at the weight-streaming-bound small-B buckets.
+        params = _quantize_int8(jax.tree_util.tree_map(np.asarray, params))
 
     def fwd(p, *args):
-        if dtype == "bf16":
+        if dtype == "int8":
+            p = _dequantize_int8(p, jnp.bfloat16)
+        if dtype in ("bf16", "int8"):
             args = tuple(a.astype(jnp.bfloat16)
                          if a.dtype == jnp.float32 else a for a in args)
         out = model.apply({"params": p}, *args, deterministic=True)
@@ -166,8 +214,6 @@ def export_model(model_name, params, L, B, *, n_classes=6,
                 jax.jit(fwd), platforms=list(platforms))(
                     param_specs, *arg_specs)
             blobs.append(exported.serialize())
-
-    import numpy as np
 
     leaf_items = _flatten_params(params)
     leaves_meta = [[k, list(np.shape(v)), str(np.asarray(v).dtype)]
@@ -219,12 +265,15 @@ class ServingModel:
     """
 
     def __init__(self, header, exported_by_bucket, params=None):
+        import threading
+
         self.header = header
         self.buckets = [tuple(lb) for lb in header.get(
             "buckets", [[header["L"], header["B"]]])]
         self._exported = dict(zip(self.buckets, exported_by_bucket))
         self._params = params  # v3 weights-as-argument; None = baked (v1/v2)
         self._params_on_device = False
+        self._params_lock = threading.Lock()  # one-time H2D, thread-safe
         self.last_bucket = None
         self._spec = None
 
@@ -235,14 +284,18 @@ class ServingModel:
         file bytes; passing those to every call would re-transfer the
         full weight set each time (66 MB/call for DialogueRNN — on the
         axon relay that transfer dwarfs the compute). One ``jnp.asarray``
-        per process pins them device-resident."""
+        per process pins them device-resident. Guarded by a lock so
+        concurrent first predicts from multiple server threads neither
+        double-transfer nor observe a half-built tree."""
         if self._params is not None and not self._params_on_device:
-            import jax
-            import jax.numpy as jnp
+            with self._params_lock:
+                if not self._params_on_device:
+                    import jax
+                    import jax.numpy as jnp
 
-            self._params = jax.tree_util.tree_map(
-                jnp.asarray, self._params)
-            self._params_on_device = True
+                    self._params = jax.tree_util.tree_map(
+                        jnp.asarray, self._params)
+                    self._params_on_device = True
         return self._params
 
     def call_fn(self, bucket):
@@ -316,7 +369,14 @@ class ServingModel:
         the same batch PADDED to that bucket's [L, B] (the reference's own
         eval batch-composition semantics) up to compile-pipeline float
         noise (~1e-5 relative: the exported StableHLO re-compiles through
-        a slightly different optimization pipeline than in-process jit)."""
+        a slightly different optimization pipeline than in-process jit).
+
+        Routing caveat (multi-L exports only): because the sequence
+        attentions attend over L padding (the documented reference quirk),
+        the SAME dialogue yields slightly different logits depending on
+        which L bucket admits it. Deployments that need routing-invariant
+        outputs should export a single L (the CLI default) — B buckets are
+        always routing-invariant (batch rows are independent)."""
         import jax.numpy as jnp
         import numpy as np
 

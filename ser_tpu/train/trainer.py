@@ -75,6 +75,7 @@ class ModelTrainer:
         audio_frontend=None,
         infonce=0.0,
         compute_dtype="f32",
+        legacy_h_csv_path=None,
         **kwargs,
     ):
         del device, kwargs  # device selection is implicit (jax default)
@@ -96,6 +97,10 @@ class ModelTrainer:
         self.n_classes = n_classes
         self.dataset = dataset
         self.res_csv_path = res_csv_path
+        # Legacy `_n` trainer analysis artifact (model_trainer_n.py:134-135):
+        # its eval loop dumps (trues, preds, masks) to h.csv — same data as
+        # res.csv under the legacy column names/order. Opt-in.
+        self.legacy_h_csv_path = legacy_h_csv_path
         self.mesh = mesh
         if audio_frontend is not None and not callable(audio_frontend):
             from ser_tpu.data.frontend import make_frontend
@@ -312,6 +317,11 @@ class ModelTrainer:
             pd.DataFrame(
                 {"preds": preds, "labels": labels, "masks": masks}
             ).to_csv(self.res_csv_path, index=False)
+            if self.legacy_h_csv_path:
+                # legacy `_n` column layout (model_trainer_n.py:133-135)
+                pd.DataFrame(
+                    {"trues": labels, "preds": preds, "masks": masks}
+                ).to_csv(self.legacy_h_csv_path, sep=",", index=False)
 
         acc = weighted_accuracy(labels, preds, masks)
         f1 = weighted_f1(labels, preds, masks)

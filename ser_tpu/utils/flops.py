@@ -22,12 +22,14 @@ V5E_BF16_PEAK_TFLOPS = 197.0
 V5E_F32_PEAK_TFLOPS = 98.5
 
 
-def jit_flops(fn, *args, static_argnums=()):
+def jit_flops(fn, *args, static_argnums=(), allow_compile=False):
     """FLOPs of one call of ``fn(*args)`` per XLA cost analysis.
 
     Returns ``float`` or ``None`` when the backend's analysis is
     unavailable (never raises — efficiency reporting must not break the
-    benchmark)."""
+    benchmark). The ``lowered.compile()`` fallback is OPT-IN
+    (``allow_compile=True``): on the axon relay a fresh backend compile
+    can silently take minutes, and bench loops must stay compile-free."""
     import jax
 
     try:
@@ -35,9 +37,10 @@ def jit_flops(fn, *args, static_argnums=()):
         ca = lowered.cost_analysis()
         if ca and ca.get("flops"):
             return float(ca["flops"])
-        ca = lowered.compile().cost_analysis()
-        if ca and ca.get("flops"):
-            return float(ca["flops"])
+        if allow_compile:
+            ca = lowered.compile().cost_analysis()
+            if ca and ca.get("flops"):
+                return float(ca["flops"])
     except Exception:
         pass
     return None

@@ -49,6 +49,25 @@ def test_learns_above_chance(trained):
     assert extras == {}
 
 
+def test_legacy_h_csv(trained, tmp_path):
+    """The legacy `_n` trainer's h.csv eval dump (model_trainer_n.py:134-135):
+    same data as res.csv under the (trues, preds, masks) column layout."""
+    import pandas as pd
+
+    trainer, _, test_loader = trained
+    h_path = tmp_path / "h.csv"
+    trainer.legacy_h_csv_path = str(h_path)
+    try:
+        trainer.eval_network(test_loader)
+    finally:
+        trainer.legacy_h_csv_path = None
+    df = pd.read_csv(h_path)
+    assert list(df.columns) == ["trues", "preds", "masks"]
+    res = pd.read_csv(trainer.res_csv_path)
+    assert np.array_equal(df["trues"], res["labels"])
+    assert np.array_equal(df["preds"], res["preds"])
+
+
 def test_steplr_schedule(trained):
     trainer, _, _ = trained
     assert abs(trainer.lr_at(1) - 1e-3) < 1e-12
