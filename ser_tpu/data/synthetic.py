@@ -272,8 +272,11 @@ def synthetic_items(n=8, seed=0, min_len=3, max_len=7, n_classes=6):
 
 
 def synthetic_batch(L=110, B=80, n_classes=6, seed=0, d_text=1024, d_audio=100,
-                    d_visual=512, min_len=None):
-    """In-memory padded batch dict at IEMOCAP-realistic shapes."""
+                    d_visual=512, min_len=None, n_parties=2):
+    """In-memory padded batch dict at IEMOCAP-realistic shapes.
+
+    ``n_parties=9`` produces MELD-shaped batches (the reference's MELD
+    loader emits a 9-party one-hot qmask, dataloader.py:82)."""
     rng = np.random.default_rng(seed)
     if min_len is None:
         min_len = max(1, L // 2)
@@ -288,8 +291,8 @@ def synthetic_batch(L=110, B=80, n_classes=6, seed=0, d_text=1024, d_audio=100,
         ("acouf", d_audio),
     ):
         batch[name] = rng.standard_normal((L, B, d)).astype(np.float32)
-    sp = rng.integers(0, 2, size=(L, B))
-    qmask = np.zeros((L, B, 2), dtype=np.float32)
+    sp = rng.integers(0, n_parties, size=(L, B))
+    qmask = np.zeros((L, B, n_parties), dtype=np.float32)
     qmask[np.arange(L)[:, None], np.arange(B)[None, :], sp] = 1.0
     umask = (np.arange(L)[None, :] < lengths[:, None]).astype(np.float32)  # [B, L]
     qmask *= umask.T[:, :, None]

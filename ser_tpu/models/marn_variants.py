@@ -1118,7 +1118,11 @@ class MARNCellNSPS(nn.Module):
             idx = jnp.argmax(qm, axis=1)
             onehot = jax.nn.one_hot(idx, P, dtype=q.dtype)
             qs_0 = jnp.einsum("bp,bpd->bd", onehot, q)
-            other = jax.nn.one_hot(1 - idx, P, dtype=q.dtype)
+            # listener party = (1 - idx) mod P: torch's ``j[1 - idx]``
+            # (lsthm_nsps.py:236) wraps negative indices, so speaker 2 at
+            # MELD's P=9 reads party 8 — one_hot of a bare negative index
+            # would silently zero it instead.
+            other = jax.nn.one_hot((1 - idx) % P, P, dtype=q.dtype)
             ql_0 = jnp.einsum("bp,bpd->bd", other, q)
 
             h_s = gru_step(gxp, qs_0, gWhh, gbhh)
@@ -1167,7 +1171,8 @@ def _nsps_step(consts, carry, xs, dropout_rate, training):
     idx = jnp.argmax(qm, axis=1)
     onehot = jax.nn.one_hot(idx, P, dtype=q.dtype)
     qs_0 = jnp.einsum("bp,bpd->bd", onehot, q)
-    other = jax.nn.one_hot(1 - idx, P, dtype=q.dtype)
+    # (1 - idx) mod P mirrors torch's negative-index wrap (lsthm_nsps.py:236)
+    other = jax.nn.one_hot((1 - idx) % P, P, dtype=q.dtype)
     ql_0 = jnp.einsum("bp,bpd->bd", other, q)
 
     h_s = gru_step(gxp, qs_0, gWhh, gbhh)
