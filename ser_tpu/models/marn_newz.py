@@ -28,6 +28,13 @@ class MARN1NewZ(nn.Module):
     d_a: int = 100
     dh: int = 128
     num_atts: int = 4
+    # causal_encoder=True restricts the sequence encoders to a causal
+    # (lower-triangular) attention mask. NOT a reference mode — it is the
+    # exact batch-mode specification of the streaming serving path
+    # (ser_tpu/streaming.py): utterance t's encoder output attends over
+    # utterances 0..t only, so appending an utterance never changes history.
+    # Parameters are identical either way; default (False) is the parity path.
+    causal_encoder: bool = False
 
     @nn.compact
     def __call__(self, x, qmask, umask=None, deterministic: bool = True):
@@ -39,10 +46,14 @@ class MARN1NewZ(nn.Module):
 
         x_l = jnp.swapaxes(x[:, :, : self.d_l], 0, 1)
         x_a = jnp.swapaxes(x[:, :, self.d_l : self.d_l + self.d_a], 0, 1)
+        causal_mask = None
+        if self.causal_encoder:
+            Lq = x_l.shape[1]
+            causal_mask = jnp.tril(jnp.ones((1, Lq, Lq), jnp.float32))
         x_l, _ = EncoderLayer(100, 50, 8, 40, 40, name="encoder_l")(
-            x_l, deterministic=deterministic)
+            x_l, slf_attn_mask=causal_mask, deterministic=deterministic)
         x_a, _ = EncoderLayer(100, 50, 8, 40, 40, name="encoder_a")(
-            x_a, deterministic=deterministic)
+            x_a, slf_attn_mask=causal_mask, deterministic=deterministic)
         # encoder_v declared-unused (lsthm_newz.py:52) — parity.
         _ = EncoderLayer(512, 50, 8, 40, 40, name="encoder_v")(
             jnp.zeros((1, 1, 512)), deterministic=True)

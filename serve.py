@@ -156,6 +156,80 @@ def cmd_bench(args):
                       "buckets": rows}, indent=2))
 
 
+def cmd_stream(args):
+    """Stateful streaming session (unidirectional models; MARN1_newz).
+
+    Appends one utterance at a time for O(1) serial work per utterance
+    (vs the bucket path's O(L) full-dialogue recompute) under the CAUSAL
+    encoder contract — see ser_tpu/streaming.py for why exact streaming is
+    semantically impossible with the reference's bidirectional sequence
+    encoders (that documentation covers the bidirectional-recurrence
+    models too: their backward scan consumes future utterances, so full
+    recompute is required there). Reports ms/new-utterance and the
+    measured causal-vs-bidirectional drift on the driven dialogue."""
+    import time
+
+    import numpy as np
+
+    from ser_tpu import config
+    from ser_tpu.streaming import NewZStream
+    from ser_tpu.train.trainer import ModelTrainer
+
+    if args.model != "MARN1_newz":
+        raise SystemExit(
+            "stream supports the unidirectional MARN1_newz only; every "
+            "other registry model is bidirectional (backward scan over the "
+            "full dialogue) and must use the bucket path (serve.py run)")
+    config.ENCODER_ATTENTION = "mha"
+    trainer = ModelTrainer(model=args.model, n_classes=args.n_classes,
+                           dataset=args.dataset, res_csv_path=None)
+    if args.initial_model:
+        trainer.load_parameters(args.initial_model,
+                                torch_format=args.torch_format)
+
+    rng = np.random.default_rng(args.seed)
+    L = args.n_utts
+    x = rng.standard_normal((L, 1124)).astype(np.float32)
+    sp = rng.integers(0, 2, size=L)
+    qmask = np.zeros((L, 2), dtype=np.float32)
+    qmask[np.arange(L), sp] = 1.0
+
+    stream = NewZStream(trainer.params, n_classes=args.n_classes,
+                        max_len=max(L, args.max_len))
+    stream.append(x[0], qmask[0])  # compile
+    stream.reset()
+
+    t_per = []
+    logits = []
+    for t in range(L):
+        t0 = time.perf_counter()
+        logits.append(stream.append(x[t], qmask[t]))
+        t_per.append(time.perf_counter() - t0)
+    logits = np.stack(logits)
+
+    # drift vs the bidirectional (parity-path) batch forward
+    import jax.numpy as jnp
+
+    out, _, _ = trainer.model.apply(
+        {"params": trainer.params}, jnp.asarray(x[:, None, :]),
+        jnp.asarray(qmask[:, None, :]), deterministic=True)
+    bi = np.asarray(out).reshape(1, L, args.n_classes)[0]
+
+    print(json.dumps({
+        "model": args.model,
+        "n_utterances": L,
+        "ms_per_new_utterance_median": round(
+            float(np.median(t_per)) * 1e3, 3),
+        "ms_per_new_utterance_p90": round(
+            float(np.percentile(t_per, 90)) * 1e3, 3),
+        "argmax_agreement_vs_bidirectional": round(
+            float((logits.argmax(-1) == bi.argmax(-1)).mean()), 4),
+        "max_logit_drift_vs_bidirectional": float(np.abs(logits - bi).max()),
+        "contract": "equals MARN1NewZ(causal_encoder=True) batch forward "
+                    "(tests/test_streaming.py)",
+    }, indent=2))
+
+
 def main(argv=None):
     import os
 
@@ -185,10 +259,12 @@ def main(argv=None):
     pe.add_argument("--torch_format", action="store_true")
     pe.add_argument("--encoder_attention", type=str, default="mha")
     pe.add_argument("--dtype", type=str, default="f32",
-                    choices=["f32", "bf16"],
-                    help="bf16 = deployment precision: params baked bf16, "
-                         "forward computed in bfloat16 (f32 in/out; "
-                         "measured 1.2-1.5x on DialogueRNN, PERF.md)")
+                    choices=["f32", "bf16", "int8"],
+                    help="deployment precision: bf16 = params baked bf16, "
+                         "forward in bfloat16 (f32 in/out; measured "
+                         "1.2-1.5x on DialogueRNN, PERF.md); int8 = "
+                         "weights-only int8 storage (4x smaller), "
+                         "dequantized to bf16 compute per call")
     pe.set_defaults(fn=cmd_export)
 
     pr = sub.add_parser("run", help="evaluate a split with an artifact")
@@ -206,6 +282,20 @@ def main(argv=None):
     pb.add_argument("--artifact", type=str, required=True)
     pb.add_argument("--iters", type=int, default=50)
     pb.set_defaults(fn=cmd_bench)
+
+    ps = sub.add_parser(
+        "stream", help="stateful streaming session (MARN1_newz)")
+    ps.add_argument("--initial_model", type=str, default=None)
+    ps.add_argument("--model", type=str, default="MARN1_newz")
+    ps.add_argument("--n_classes", type=int, default=6)
+    ps.add_argument("--dataset", type=str, default="IEMOCAP")
+    ps.add_argument("--n_utts", type=int, default=60,
+                    help="dialogue length to drive")
+    ps.add_argument("--max_len", type=int, default=128,
+                    help="history capacity (static shape)")
+    ps.add_argument("--seed", type=int, default=111)
+    ps.add_argument("--torch_format", action="store_true")
+    ps.set_defaults(fn=cmd_stream)
 
     args = p.parse_args(argv)
     args.fn(args)
