@@ -120,6 +120,75 @@ ONLYSP_STACKED = "off"
 TAIL_PAIRED = "auto"
 _TAIL_PAIRED_AUTO = False  # flipped by the round-4 TPU A/B if it wins
 
+# ---------------------------------------------------------------------------
+# Modality-stacked recurrence steps for the variant cells whose per-step
+# LSTHM chains are mutually independent WITHIN a step — sp
+# (``lsthm_sp.py:82-160``), cf/azs (``lsthm_cf.py:103-204`` /
+# ``lsthm_azs.py:74-154``) and newz (``lsthm_newz.py:60-110``). Stacking
+# the independent chains on a leading modality axis makes each group ONE
+# batched einsum + ONE gate pass (same math up to batched-matmul tiling;
+# eval + grad exactness in tests/test_stack_modalities.py). In train mode
+# the h-dropout mask is drawn once over the stacked [M, B, H] block — the
+# same distributional-RNG contract as the fused-directions scan /
+# TAIL_PAIRED.
+#
+# Round-5 A/B at the reference train shape [110, 80] (v5e-1, min-of-3
+# fori_loop, scripts/bench_stack_modalities.py):
+#   model   eval off->on        train off->on
+#   newz    1.730 -> 1.496 ms   11.15 -> 7.72 ms   (1.16x / 1.45x)  WIN
+#   sp      3.568 -> 3.922 ms   15.02 -> 15.70 ms  (0.91x / 0.96x)  lose
+#   cf      3.560 -> 3.613 ms   16.30 -> 15.92 ms  (0.99x / 1.02x)  neutral
+#   azs     3.751 -> 3.942 ms   17.78 -> 17.86 ms  (0.95x / 1.00x)  neutral
+# newz wins because its step carried SEVEN separate per-step matmuls (3
+# state-side per modality + attention projections) that fuse to four; the
+# sp/cf/azs steps already fuse their state side into one concat-matmul per
+# modality, and their per-step cost is B-linear activation/VPU work
+# (scripts/profile_variant_bound.py), which stacking does not reduce —
+# XLA already overlaps the independent chains (same finding as the r2
+# pre-split-keys experiment). Hence per-family autos.
+#   "auto": per-family measured default | True / False: force all (tests)
+# ---------------------------------------------------------------------------
+STACK_MODALITIES = "auto"
+_STACK_MODALITIES_AUTO = {"newz": True, "sp": False, "cf": False}
+
+
+def stack_modalities(family="sp"):
+    """Static (trace-time) decision for the modality-stacked variant steps.
+
+    ``family``: "newz" | "sp" | "cf" (cf covers azs — shared code path)."""
+    if STACK_MODALITIES == "auto":
+        return _STACK_MODALITIES_AUTO.get(family, False)
+    return bool(STACK_MODALITIES)
+
+
+# ---------------------------------------------------------------------------
+# TRAIN-mode scan unroll for the variant recurrences (eval stays unroll=1 —
+# unmeasured there, and the fast eval passes are gate-protected). The
+# flagship's unroll ablation was neutral (dependency-bound), but the r5
+# variant bound diagnosis (scripts/profile_variant_bound.py, v5e-1, quiet
+# host, [110, 80]) found two real per-family wins:
+#   la: u1 7.77 -> u4 5.18 ms (1.50x; u8 6.18 regresses; composes with
+#       bf16: 5.13 -> 4.10 ms). la streams ~4.6 MB of weights per step
+#       (its gate-LSTM + LSTHM kernels x 2 directions) against tiny
+#       per-step compute; unrolling amortizes the weight traffic across
+#       4 steps — consistent with its 2.07x bf16 speedup (halved bytes).
+#   cf: u1 16.33 -> u2 14.29 ms (1.14x; u4 14.68 no better).
+#   mf: u4 LOSES (6.29 -> 7.59 ms) — its weights are already amortized by
+#       hoisted full-sequence projections; unroll just bloats the body.
+#   sp: neutral (14.98 -> 14.98) — B-linear activation/VPU-bound.
+# Per-family autos below; azs measured separately (shares cf's code path).
+#   "auto": per-family measured default | int: force every family (tests)
+# ---------------------------------------------------------------------------
+SCAN_UNROLL = "auto"
+_SCAN_UNROLL_AUTO = {"la": 4, "cf": 2}
+
+
+def scan_unroll(family):
+    """Static (trace-time) train-scan unroll factor for a variant family."""
+    if SCAN_UNROLL == "auto":
+        return _SCAN_UNROLL_AUTO.get(family, 1)
+    return max(1, int(SCAN_UNROLL))
+
 
 def tail_paired():
     """Static (trace-time) decision for the pair-batched head tail."""

@@ -107,6 +107,25 @@ class MARN1NewZ(nn.Module):
             attn = jax.nn.softmax(heads, axis=-1)
             return attn * cs[:, None, :]  # [B, K, d]
 
+        from ser_tpu import config
+
+        stacked = config.stack_modalities("newz")
+        if stacked:
+            # modality-stacked step (config.STACK_MODALITIES): the l/a
+            # LSTHM1 chains read only carried state + this step's q_affine,
+            # so they ride a leading modality axis — their 3 state-side
+            # matmuls each fuse into ONE [2,B,896]x[2,896,512] einsum, and
+            # the per-modality attention projections into one batched
+            # einsum. Same math (tests/test_stack_modalities.py); the
+            # attention dropout draws once over the stacked block.
+            K_la = jnp.stack([jnp.concatenate([Ul, Vl, Sl], axis=0),
+                              jnp.concatenate([Ua, Va, Sa], axis=0)])
+            b_la = jnp.stack([bUl + bVl + bSl,
+                              bUa + bVa + bSa])[:, None, :]
+            attlaW = jnp.stack([attlW, attaW])   # [2, H, K*H]
+            attlab = jnp.stack([attlb, attab])[:, None, :]
+            xp = jnp.stack([xl_proj, xa_proj], axis=1)  # [L, 2, B, 4H]
+
         def step(carry, xs):
             h_l, c_l, h_a, c_a, z, q = carry
             xlp, xap, qm, key = xs
@@ -150,10 +169,56 @@ class MARN1NewZ(nn.Module):
             y = jnp.concatenate([h_l_n, h_a_n, z], axis=-1)
             return (h_l_n, c_l_n, h_a_n, c_a_n, z, q), y
 
+        def step_stacked(carry, xs):
+            h_la, c_la, z, q = carry  # h_la/c_la: [2, B, H]
+            xpt, qm, key = xs
+            ks = None if deterministic else key
+
+            q0_sel = select_parties(q, qm)
+            q_affine = jnp.matmul(q0_sel, Sq) + bSq
+            m = qm[:, :, None]
+            q = q0_sel[:, None, :] * (1.0 - m) + q_affine[:, None, :] * m
+
+            shared = jnp.concatenate([z, q_affine], axis=-1)  # [B, D+4H]
+            state = jnp.concatenate(
+                [h_la, jnp.broadcast_to(shared[None], (2,) + shared.shape)],
+                axis=-1)
+            sums = xpt + jnp.einsum("mbi,mio->mbo", state, K_la) + b_la
+            c_la_n, h_la_n = lsthm_gates(sums, c_la)
+
+            new_cs = jnp.concatenate([c_la_n[0], c_la_n[1]], axis=1)
+            attended = multi_att(jnp.matmul(new_cs, attW) + attb, new_cs, D)
+            ala = jnp.einsum("mbh,mhk->mbk", c_la_n, attlaW) + attlab
+            ala = nn.relu(ala)
+            ala = dropout(ala, 0.3, deterministic,
+                          None if deterministic else ks[0])
+            heads = ala.reshape(2, ala.shape[1], K, H)
+            att_la = jax.nn.softmax(heads, axis=-1) * c_la_n[:, :, None, :]
+
+            cm_in = jnp.concatenate([att_la[0], att_la[1]], axis=-1)
+            cross_modal = jnp.matmul(cm_in, cmW) + cmb  # [B, K, 144]
+            cross_modal = nn.relu(cross_modal)
+            cross_modal = dropout(cross_modal, 0.3, deterministic,
+                                  None if deterministic else ks[2])
+            z_temp = jnp.concatenate([cross_modal, attended], axis=-1)
+            z_flat = z_temp.reshape(z_temp.shape[0], K * (D + reduce_dim))
+            z_new = nn.relu(jnp.matmul(z_flat, fzW) + fzb)
+            z = ws[0] * z_new + ws[1] * z
+
+            y = jnp.concatenate([h_la_n[0], h_la_n[1], z], axis=-1)
+            return (h_la_n, c_la_n, z, q), y
+
         z0h = jnp.zeros((B, H), x_l.dtype)
-        init = (z0h, z0h, z0h, z0h, jnp.zeros((B, D), x_l.dtype),
-                jnp.zeros((B, P, speaker), x_l.dtype))
-        _, ys = jax.lax.scan(step, init, (xl_proj, xa_proj, qmask, keys))
+        if stacked:
+            init = (jnp.zeros((2, B, H), x_l.dtype),
+                    jnp.zeros((2, B, H), x_l.dtype),
+                    jnp.zeros((B, D), x_l.dtype),
+                    jnp.zeros((B, P, speaker), x_l.dtype))
+            _, ys = jax.lax.scan(step_stacked, init, (xp, qmask, keys))
+        else:
+            init = (z0h, z0h, z0h, z0h, jnp.zeros((B, D), x_l.dtype),
+                    jnp.zeros((B, P, speaker), x_l.dtype))
+            _, ys = jax.lax.scan(step, init, (xl_proj, xa_proj, qmask, keys))
 
         # per-step nn_out hoisted out of the scan (identical math);
         # RAW logits, no log_softmax (lsthm_newz.py:113).

@@ -120,6 +120,24 @@ class MARNCellSP(nn.Module):
         b_q = bWq + bUq + bVq
 
         if mode == "gather":
+            from ser_tpu import config
+
+            if config.stack_modalities("sp"):
+                # sp's q/l/a LSTHM chains are ALL mutually independent
+                # within a step (each reads only carried state), so all
+                # three ride one modality axis. Per-modality state layout
+                # [own_h, z, extra] with extra = q0_sel for q and an
+                # exact-zero slab (zero state x zero kernel rows) for l/a.
+                zH = jnp.zeros((H, 4 * H), K_q.dtype)
+                K = jnp.stack([
+                    jnp.concatenate([Uq, Vq, Wq], axis=0),   # [h_q, z, q0]
+                    jnp.concatenate([Ul, Vl, zH], axis=0),   # [h_l, z, 0]
+                    jnp.concatenate([Ua, Va, zH], axis=0),   # [h_a, z, 0]
+                ])                                            # [3, 3H, 4H]
+                b = jnp.stack([b_q, b_l, b_a])[:, None, :]    # [3, 1, 4H]
+                xp = jnp.stack(
+                    [jnp.zeros_like(xl_proj), xl_proj, xa_proj], axis=1)
+                return ((xp, qmask), (K, b, wq, wk))
             return ((xl_proj, xa_proj, qmask),
                     (K_l, b_l, K_a, b_a, K_q, b_q, wq, wk))
 
@@ -188,13 +206,29 @@ class MARN1SP(nn.Module):
         rev_x_l = reverse_seq(x_l, umask)
         rev_x_a = reverse_seq(x_a, umask)
         rev_qmask = reverse_seq(qmask, umask)
+        from ser_tpu import config
+
         cell_f = MARNCellSP(name="marn_cell_f")
-        h_f, h_b = _fused_directions(
-            cell_f, MARNCellSP(name="marn_cell_b"),
-            (x_l, x_a, qmask), (rev_x_l, rev_x_a, rev_qmask),
-            functools.partial(_sp_step, dropout_rate=cell_f.dropout_rate),
-            n_state=7, deterministic=deterministic,
-            make_rng=lambda: self.make_rng("dropout"))
+        if config.stack_modalities("sp"):
+            def sp_init(consts_f, B, P):
+                H = consts_f[0].shape[-1] // 4
+                zb = lambda *s: jnp.zeros(s, x_l.dtype)
+                return (zb(3, B, H), zb(3, B, H), zb(B, H), zb(B, P, H))
+
+            step_fn = functools.partial(
+                _sp_step_stacked, dropout_rate=cell_f.dropout_rate)
+            h_f, h_b = _fused_directions(
+                cell_f, MARNCellSP(name="marn_cell_b"),
+                (x_l, x_a, qmask), (rev_x_l, rev_x_a, rev_qmask),
+                step_fn, n_state=0, deterministic=deterministic,
+                make_rng=lambda: self.make_rng("dropout"), init=sp_init)
+        else:
+            h_f, h_b = _fused_directions(
+                cell_f, MARNCellSP(name="marn_cell_b"),
+                (x_l, x_a, qmask), (rev_x_l, rev_x_a, rev_qmask),
+                functools.partial(_sp_step, dropout_rate=cell_f.dropout_rate),
+                n_state=7, deterministic=deterministic,
+                make_rng=lambda: self.make_rng("dropout"))
         h_f = Dropout(0.5, name="dropout_rec")(h_f, deterministic)
         h_b = reverse_seq(h_b, umask)
         h_b = Dropout(0.5, name="dropout_rec_b")(h_b, deterministic)
@@ -241,9 +275,43 @@ def _sp_step(consts, carry, xs, dropout_rate, training):
     return (h_l, c_l, h_a, c_a, h_q, c_q, z, q), y
 
 
+def _sp_step_stacked(consts, carry, xs, dropout_rate, training):
+    """Modality-stacked sp step (config.STACK_MODALITIES): the q, l and a
+    LSTHM chains each read only carried state, so all three concat->matmul->
+    gates->dropout chains ride one leading modality axis — ONE batched
+    einsum + ONE gate pass + ONE dropout draw per step instead of three
+    serial op groups. Same math as ``_sp_step`` (the l/a state pad slab is
+    exact-zero x zero kernel rows); the h-dropout mask is drawn once over
+    [3, B, H] — the distributional-RNG contract of the fused scan."""
+    K, b, wq, wk = consts
+    h_qla, c_qla, z, q = carry  # h_qla/c_qla: [3, B, H]
+    if training:
+        xp, qm, key = xs
+        ks = jax.random.split(key, 2)
+        det = False
+    else:
+        xp, qm = xs
+        ks = [None, None]
+        det = True
+
+    q0_sel = select_parties(q, qm)
+    z_b = jnp.broadcast_to(z[None], h_qla.shape)
+    q0_pad = jnp.concatenate(
+        [q0_sel[None], jnp.zeros_like(h_qla[:2])], axis=0)
+    state = jnp.concatenate([h_qla, z_b, q0_pad], axis=-1)  # [3, B, 3H]
+    sums = xp + jnp.einsum("mbi,mio->mbo", state, K) + b
+    c_qla, h_qla = lsthm_gates(sums, c_qla)
+    h_qla = dropout(h_qla, dropout_rate, det, ks[0])
+    q = _broadcast_scatter(q0_sel, h_qla[0], qm)
+
+    z = rank1_cross_attention(c_qla[1], c_qla[2], wq, wk, 0.2, det, ks[1])
+    y = jnp.concatenate([h_qla[1], h_qla[2], z, h_qla[0]], axis=-1)
+    return (h_qla, c_qla, z, q), y
+
+
 def _fused_directions(cell_f, cell_b, inputs_f, inputs_b, step_fn,
                       n_state, deterministic, make_rng=None, qmask_idx=2,
-                      init=None, thread_keys=True):
+                      init=None, thread_keys=True, train_unroll=1):
     """Generic fwd+bwd fusion: gather both cells, stack on a direction axis,
     run one scan with the step vmapped over it. Returns (ys_f, ys_b).
 
@@ -252,7 +320,10 @@ def _fused_directions(cell_f, cell_b, inputs_f, inputs_b, step_fn,
     or as a callable ``init(consts_f, B, P) -> pytree`` when the carry
     dims must be read off the gathered constants (la's d_l states).
     ``thread_keys=False`` is for dropout-free step fns (mf/la): no
-    ``training=`` partial and no per-step key appended to the scan xs."""
+    ``training=`` partial and no per-step key appended to the scan xs.
+    ``train_unroll``: lax.scan unroll factor applied in TRAIN mode only
+    (config.scan_unroll — amortizes per-step weight streaming where the
+    r5 diagnosis measured a win; eval stays unroll=1)."""
     import functools
 
     seqs_f, consts_f = cell_f(*inputs_f, deterministic, mode="gather")
@@ -287,11 +358,13 @@ def _fused_directions(cell_f, cell_b, inputs_f, inputs_b, step_fn,
     def step(carry, xs):
         return jax.vmap(fn, in_axes=(0, 0, 0))(consts, carry, xs)
 
+    unroll = 1
     if training:
         from ser_tpu import config
 
         step = config.scan_remat(step)
-    _, ys = jax.lax.scan(step, init, seqs)
+        unroll = train_unroll
+    _, ys = jax.lax.scan(step, init, seqs, unroll=unroll)
     if isinstance(ys, tuple):
         return tuple((y[:, 0], y[:, 1]) for y in ys)
     return ys[:, 0], ys[:, 1]
@@ -352,6 +425,17 @@ class MARNCellSharedLSTM(nn.Module):
             # both directions as one direction-vmapped scan (the only in-cell
             # stochasticity is the CrossAttention dropout, whose keys the
             # caller threads as scan inputs in train mode).
+            from ser_tpu import config
+
+            if config.stack_modalities("cf"):
+                # l/a ride a leading modality axis: per step ONE batched
+                # einsum + ONE gate pass instead of two serial chains
+                # (config.STACK_MODALITIES).
+                xp = jnp.stack([xl_proj, xa_proj], axis=1)  # [L, 2, B, 4H]
+                K = jnp.stack([K_l, K_a])                   # [2, in, 4H]
+                b = jnp.stack([b_l, b_a])[:, None, :]       # [2, 1, 4H]
+                return ((xp, qmask),
+                        (K, b, sWih, sbih, sWhh, sbhh, wq, wk))
             return ((xl_proj, xa_proj, qmask),
                     (K_l, b_l, K_a, b_a, sWih, sbih, sWhh, sbhh, wq, wk))
 
@@ -513,6 +597,39 @@ def _shared_lstm_step(consts, carry, xs, use_speaker_term, training=False):
     return (h_l, c_l, h_a, c_a, h_s, c_s, z, q), (h_l, h_a, z, q_affine)
 
 
+def _shared_lstm_step_stacked(consts, carry, xs, use_speaker_term,
+                              training=False):
+    """Modality-stacked cf/azs step (config.STACK_MODALITIES): l and a are
+    independent within a step (both read only carry z [+ this step's
+    q_affine]), so their concat->matmul->gates chains ride a leading
+    modality axis — one batched einsum + one gate pass instead of two
+    serial op groups. Same math as ``_shared_lstm_step``."""
+    K, b, sWih, sbih, sWhh, sbhh, wq, wk = consts
+    h_la, c_la, h_s, c_s, z, q = carry  # h_la/c_la: [2, B, H]
+    if training:
+        xp, qm, key = xs
+    else:
+        xp, qm = xs
+        key = None
+
+    q0_sel = select_parties(q, qm)
+    xs_proj = jnp.matmul(q0_sel, sWih) + sbih
+    h_s, c_s = lstm_step(xs_proj, h_s, c_s, sWhh, sbhh)
+    q_affine = h_s
+    q = _broadcast_scatter(q0_sel, q_affine, qm)
+
+    shared = (jnp.concatenate([z, q_affine], axis=-1)
+              if use_speaker_term else z)
+    state = jnp.concatenate(
+        [h_la, jnp.broadcast_to(shared[None], (2,) + shared.shape)], axis=-1)
+    sums = xp + jnp.einsum("mbi,mio->mbo", state, K) + b
+    c_la, h_la = lsthm_gates(sums, c_la)
+
+    z = rank1_cross_attention(c_la[0], c_la[1], wq, wk, 0.2,
+                              not training, key)
+    return (h_la, c_la, h_s, c_s, z, q), (h_la, z, q_affine)
+
+
 def _fused_shared_lstm(cell_f, cell_b, inputs_f, inputs_b, use_speaker_term,
                        emit_q, deterministic, make_rng=None):
     """Run both cf/azs directions as one scan with a direction-vmapped step
@@ -521,11 +638,35 @@ def _fused_shared_lstm(cell_f, cell_b, inputs_f, inputs_b, use_speaker_term,
     inputs_*: (x_l, x_a, qmask) per direction."""
     import functools
 
+    from ser_tpu import config
+
+    if config.stack_modalities("cf"):
+        def init(consts_f, B, P):
+            H = consts_f[0].shape[-1] // 4
+            zb = lambda *s: jnp.zeros(s, inputs_f[0].dtype)
+            return (zb(2, B, H), zb(2, B, H), zb(B, H), zb(B, H),
+                    zb(B, H), zb(B, P, H))
+
+        h_la, z, q_affine = _fused_directions(
+            cell_f, cell_b, inputs_f, inputs_b,
+            functools.partial(_shared_lstm_step_stacked,
+                              use_speaker_term=use_speaker_term),
+            n_state=0, deterministic=deterministic, make_rng=make_rng,
+            init=init, train_unroll=config.scan_unroll("cf"))
+        parts_fb = []
+        for d in range(2):
+            parts = [h_la[d][:, 0], h_la[d][:, 1], z[d]]
+            if emit_q:
+                parts.append(q_affine[d])
+            parts_fb.append(jnp.concatenate(parts, axis=-1))
+        return parts_fb[0], parts_fb[1]  # h_b is reversed-time
+
     h_l, h_a, z, q_affine = _fused_directions(
         cell_f, cell_b, inputs_f, inputs_b,
         functools.partial(_shared_lstm_step,
                           use_speaker_term=use_speaker_term),
-        n_state=7, deterministic=deterministic, make_rng=make_rng)
+        n_state=7, deterministic=deterministic, make_rng=make_rng,
+        train_unroll=config.scan_unroll("cf"))
     parts = [h_l, h_a, z] + ([q_affine] if emit_q else [])
     h_f = jnp.concatenate([p[0] for p in parts], axis=-1)
     h_b = jnp.concatenate([p[1] for p in parts], axis=-1)
@@ -752,13 +893,17 @@ class _NoAttnBidir(nn.Module):
                         + tuple(zb(B, d_l) for _ in range(4))
                         + (zb(B, P, H),))
 
+        from ser_tpu import config
+
         # mf/la steps are dropout-free inside the cell -> thread_keys=False
         h_l, h_a = _fused_directions(
             self.cell_cls(name="marn_cell_f"),
             self.cell_cls(name="marn_cell_b"),
             (x, qmask), (rev_x, rev_qmask), step_fn,
             n_state=6, deterministic=deterministic, qmask_idx=1,
-            init=la_init, thread_keys=False)
+            init=la_init, thread_keys=False,
+            train_unroll=config.scan_unroll(
+                "la" if self.cell_cls is MARNCellLA else "mf"))
 
         h_f = Dropout(0.5, name="dropout_rec")(
             jnp.concatenate([h_l[0], h_a[0]], axis=-1), deterministic)
